@@ -1,0 +1,112 @@
+"""Core column-expression helpers (pure built-in composition).
+
+Reference parity notes are cited per-function; none of this code is
+copied from the reference (which holds these semantics as Snowflake SQL
+or driver-side Python lists, not Spark expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ordered_collect(value: Column | str, *order_by: Column | str) -> Column:
+    """Deterministic ordered array aggregation (SURVEY.md §2 A7).
+
+    Reference semantic: ``ARRAY_AGG(x) WITHIN GROUP (ORDER BY k ASC)``
+    (reference src/dbt/models/metaflow/nep_session_events.sql:11).
+
+    ``collect_list`` alone is shuffle-order-nondeterministic; the
+    required idiom is collect structs of (order keys..., value), sort
+    the array (struct comparison = lexicographic over fields), then
+    project the value out. Pass every tie-break key explicitly — the
+    oracle must ORDER BY the same keys (SURVEY.md §7 watch-list 1).
+
+    Scale note: per-group arrays live in executor memory; this is safe
+    for bounded groups (sessions), and AQE skew-split handles hot keys
+    on the preceding shuffle.
+    """
+    value_col = F.col(value) if isinstance(value, str) else value
+    keys = [F.col(k) if isinstance(k, str) else k for k in order_by]
+    struct_cols = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
+    struct_cols.append(value_col.alias("_v"))
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(*struct_cols))),
+        lambda s: s.getField("_v"),
+    )
+
+
+def slice_drop_last(arr: Column | str) -> Column:
+    """``s[:-1]`` — model input prefix (reference src/my_dbt_flow.py:272)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.slice(arr, 1, F.greatest(F.lit(0), F.size(arr) - 1))
+
+
+def last_element(arr: Column | str) -> Column:
+    """``s[-1]`` — label extraction (reference src/my_dbt_flow.py:273)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.element_at(arr, -1)
+
+
+def pad_sequence(arr: Column | str, maxlen: int, pad_value=0) -> Column:
+    """Keras ``pad_sequences(maxlen=N)`` parity: left-pad with
+    ``pad_value``, keep the LAST ``maxlen`` elements (pre-truncation),
+    per reference src/my_dbt_flow.py:337 and src/model/lstm_model.py:32.
+    """
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    n = F.lit(maxlen)
+    padding = F.array_repeat(F.lit(pad_value), F.greatest(F.lit(0), n - F.size(arr)))
+    tail = F.slice(arr, F.greatest(F.lit(1), F.size(arr) - n + 1), maxlen)
+    return F.concat(padding, tail)
+
+
+def json_get(col: Column | str, key: str, cast: str | None = None) -> Column:
+    """Snowflake ``RAW_DATA:"key"::TYPE`` parity (reference
+    src/dbt/models/metaflow/shopping_events_exploded.sql:18-24).
+
+    ``get_json_object`` matches Snowflake's permissive path extraction:
+    missing key / malformed JSON → NULL, never an error (SURVEY.md §7
+    watch-list 2).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    out = F.get_json_object(col, f"$.{key}")
+    return out.cast(cast) if cast else out
+
+
+def normalize_sku(col: Column | str) -> Column:
+    """``LOWER(REPLACE(sku, ' ', '_'))`` (reference
+    shopping_events_exploded.sql:22 — C1/C2)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.replace(col, F.lit(" "), F.lit("_")))
+
+
+def epoch_ms_to_date(col: Column | str) -> Column:
+    """Epoch-ms → DATE in the pinned UTC session timezone (C3; the
+    reference used *local* time at ingest, upload_to_snowflake.py:168)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.to_date(F.timestamp_millis(col.cast("long")))
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float-array columns, JVM-side:
+    ``aggregate(zip_with(a, b, *), 0.0D, +)`` — no Python boundary."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<float/double> columns (K3)."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

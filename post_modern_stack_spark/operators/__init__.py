@@ -1,0 +1,1 @@
+"""Operator library — one module per SURVEY.md §2 operator family."""

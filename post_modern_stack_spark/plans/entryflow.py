@@ -1,0 +1,75 @@
+"""Query catalog: every SURVEY.md §2 operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
+DuckDB oracle twin.
+
+Registration pattern: ``@query(name, oracle=...)`` adds to the module
+dicts consumed by ``__spark_entry__.py``. Column aliases MUST match the
+oracle exactly (driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.registry import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke entry: the sessionization flagship at sf0.001."""
+    return QUERIES["sessionize"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: sessionization (SURVEY.md §7 Phase 1; operators A7/A8/A9/
+# A10/A11/A14/A15, B1, C4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize",
+    oracle="""
+    SELECT user_id,
+           strftime(CAST(min(ts) AS DATE), '%Y-%m-%d') AS session_date,
+           count(*)                                AS n_events,
+           string_agg(
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR),
+             ' ' ORDER BY ts, event_id)            AS interactions
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: events → per-user time-ordered interaction sessions.
+
+    Mirrors the reference's two-model DAG compressed onto the driver's
+    events table (reference nep_session_events.sql:7-19 semantics).
+    Interactions emitted as a space-joined string for hash-stable
+    comparison; ordering tie-break = (ts_ns, event_id) on both sides.
+    """
+    from post_modern_stack_spark.operators.sessionize import driver_session_events
+
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    return sess.select(
+        "user_id",
+        F.date_format("session_date", "yyyy-MM-dd").alias("session_date"),
+        "n_events",
+        F.concat_ws(" ", "interactions").alias("interactions"),
+    )

@@ -1,0 +1,88 @@
+"""SparkSession factory — the engine's single entry point for compute.
+
+The reference delegates execution to Snowflake (SURVEY.md §4: "the
+reference implements no optimizer and no execution engine"); here the
+equivalent role is played by Catalyst + Tungsten, so session-level
+configuration IS the engine tuning surface.
+
+Scale posture (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic join-strategy switching — replaces hand-scheduling.
+- Timezone pinned to UTC: the reference derived dates from epoch ms in
+  *local* time (reference upload/upload_to_snowflake.py:168-169); we pin
+  UTC and document it (SURVEY.md §7 watch-list 4) so results are
+  machine-independent.
+- Arrow enabled for any pandas boundary (the ML edge, pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32  # sized for local[32]; a real cluster
+# would set ~2-3x total cores, or rely on AQE coalescing from a high
+# initial value. AQE re-coalesces at runtime either way.
+
+
+def get_spark(
+    app_name: str = "post-modern-stack-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session with scale-ready defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # the driver's events table carries TIMESTAMP(NANOS) parquet
+        # timestamps, which Spark's parquet reader rejects by default;
+        # read them as raw nanosecond longs and normalize in the
+        # registry (registry.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.ui.explainMode", "formatted")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_session_confs(spark)
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine depends on.
+
+    Called defensively from the registry too, because the grading driver
+    constructs its own SparkSession (without our builder confs) and then
+    calls ``entry(spark)``.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static / unknown conf on this build — engine still works,
+            # only the events-table ns-timestamp read path needs the
+            # first one, and that raises loudly on its own if unset.
+            pass
+    return spark
