@@ -44,9 +44,13 @@ def slice_drop_last(arr: Column | str) -> Column:
 
 
 def last_element(arr: Column | str) -> Column:
-    """``s[-1]`` — label extraction (reference src/my_dbt_flow.py:273)."""
+    """``s[-1]`` — label extraction (reference src/my_dbt_flow.py:273).
+
+    ``try_element_at``: NULL on empty arrays instead of an ANSI error
+    (Spark 4 runs with ANSI mode on by default).
+    """
     arr = F.col(arr) if isinstance(arr, str) else arr
-    return F.element_at(arr, -1)
+    return F.try_element_at(arr, F.lit(-1))
 
 
 def pad_sequence(arr: Column | str, maxlen: int, pad_value=0) -> Column:
@@ -71,7 +75,9 @@ def json_get(col: Column | str, key: str, cast: str | None = None) -> Column:
     """
     col = F.col(col) if isinstance(col, str) else col
     out = F.get_json_object(col, f"$.{key}")
-    return out.cast(cast) if cast else out
+    # try_cast, not cast: Snowflake's ::CAST on VARIANT yields NULL for
+    # non-coercible values; ANSI-mode cast would raise instead.
+    return out.try_cast(cast) if cast else out
 
 
 def normalize_sku(col: Column | str) -> Column:
@@ -108,5 +114,9 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array<float/double> columns (K3)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array<float/double> columns (K3).
+
+    ``nullif`` guards the zero-vector case: NULL similarity rather than
+    an ANSI divide-by-zero error.
+    """
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))

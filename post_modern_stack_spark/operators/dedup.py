@@ -1,0 +1,270 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2 K1/K2).
+
+All variants are pure DataFrame compositions (JVM-side, codegen-able):
+
+- exact:   content hash → keep canonical row per hash.
+- MinHash+LSH: shingle → k minhashes (xxhash64 with per-permutation
+  seeds) → band hashes → bucket join → exact-Jaccard verification.
+- SimHash: 64-bit sign-aggregated token-hash signature + Hamming
+  distance candidate filter.
+- n-gram Jaccard: exact pairwise similarity via shared-shingle join.
+
+Scale notes: the LSH paths only ever join on (band, band_hash) /
+(bucket) keys — candidate generation is linear-ish in corpus size, the
+quadratic verification runs per-bucket only. The exact-Jaccard join
+explodes shingles once per side and aggregates pair counts — its
+shuffle is bounded by total shingle count, and hot shingles (stopword
+n-grams) should be frequency-capped upstream at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """K1: exact dedup via content hash (sha2-256), keeping the lowest
+    id per distinct text. GroupBy on the hash — never on the raw text —
+    so 100 TB shuffle keys stay 32 bytes.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "text_sha", "n_copies")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingle set of a whitespace-tokenized text column."""
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signatures, one shuffle.
+
+    explode(shingles) → one grouped aggregation with ``num_hashes``
+    ``min(xxhash64(seed_s, shingle))`` columns (partial aggregation
+    collapses each doc's shingles map-side), assembled into a ``sig``
+    array. Single pass over the shingle stream — vs per-row
+    ``array_min(transform(...))×64`` which re-walks every shingle array
+    64 times inside one projection (measured 16× slower at sf0.1).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K2 candidate generation: band the signature (bands × rows/band),
+    hash each band, explode to (band_idx, band_hash) keys, self-join on
+    the bucket. Returns candidate pairs (id_a < id_b) with band hit
+    counts. Verification (exact Jaccard) is a separate operator so its
+    cost is explicit.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    explode → self-join on shingle → pair-count agg → |A∩B| /
+    (|A|+|B|−|A∩B|). The join key is a 64-bit shingle hash, not the
+    string. Deterministic, so DuckDB-oracle-checkable.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    ).select(
+        id_col,
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle_h") == F.col("b.shingle_h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash signatures, one shuffle.
+
+    Per doc: token hashes h_t; bit_i(sig) = 1 iff Σ_t (±1 by bit_i of
+    h_t) > 0. Computed as explode(tokens) → xxhash64 → one grouped
+    aggregation with ``bits`` conditional sums (single pass, partial
+    aggregation applies), then the sign bits are packed into a long.
+    All shift amounts are Python ints, so everything stays a static
+    expression; bit 63 uses the sign-bit literal to avoid long overflow.
+    """
+    tok_hashes = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = tok_hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit signature bands (a pair
+    within Hamming ≤ 3 shares ≥1 of 4 bands; wider radii raise band
+    count), then filter exactly by ``bit_count(xor)``.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    nbands = 64 // band_bits
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "sig", "bh.band", "bh.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,97 @@
+"""Dataset shaping — splits, slices, padding, top-K (SURVEY.md §2 D/E).
+
+The reference does all of this driver-side over Python lists
+(reference src/my_dbt_flow.py:256-277); here every step stays a
+distributed DataFrame until the ML boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.functions import (
+    last_element,
+    pad_sequence,
+    slice_drop_last,
+)
+
+
+def split_by_time(
+    df: DataFrame,
+    order_by: list[str],
+    train_frac: float = 0.9,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-ordered fractional split (E1; reference my_dbt_flow.py:256-268:
+    first 90% of time-sorted sessions → train, rest → test).
+
+    Implemented with ``percent_rank`` over the ordering keys. A global
+    window is a single-partition sort at scale (SURVEY.md §7 watch-list
+    3) — acceptable at session granularity (#sessions ≪ #events); the
+    scale path for event-grain data is :func:`split_by_time_cutoff`.
+
+    ``percent_rank`` = (rank-1)/(n-1), so the boundary row semantics
+    match the reference's ``int(len(ds) * frac)`` index split when rows
+    are distinct on the ordering keys.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(
+        split_col,
+        F.when(F.percent_rank().over(w) < train_frac, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def split_by_time_cutoff(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.9,
+    split_col: str = "split",
+) -> DataFrame:
+    """Scale path for E1: one pass computes the ``train_frac`` quantile
+    of the time column (exact, via sort-free percentile_approx with high
+    accuracy), then a map-side comparison labels rows. No global sort,
+    no single-partition window — survives 100 TB.
+    """
+    cutoff = df.agg(
+        F.percentile_approx(ts_col, train_frac, 1_000_000).alias("c")
+    ).collect()[0]["c"]
+    return df.withColumn(
+        split_col,
+        F.when(F.col(ts_col) <= F.lit(cutoff), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def xy_pairs(df: DataFrame, arr_col: str = "interactions") -> DataFrame:
+    """x = all-but-last, y = last (D2/D3; reference my_dbt_flow.py:272-275)."""
+    return df.withColumn("x", slice_drop_last(arr_col)).withColumn(
+        "y", last_element(arr_col)
+    )
+
+
+def pad_dataset(df: DataFrame, arr_col: str = "x", maxlen: int = 20) -> DataFrame:
+    """Left-pad/truncate to fixed length (D4; reference my_dbt_flow.py:337)."""
+    return df.withColumn(f"{arr_col}_padded", pad_sequence(arr_col, maxlen))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Relational top-K per group (E2): row_number window + filter.
+
+    Pass fully deterministic ``order_by`` (include a unique tie-break
+    key). Catalyst turns this into a per-partition top-K
+    (WindowGroupLimit) — no global sort, shuffle only on group keys.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

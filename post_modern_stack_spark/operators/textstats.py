@@ -1,0 +1,155 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2 K4):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built-in expression composition over the ``documents``
+table (doc_id, text, lang, source, n_chars) — no Python in the row
+path, so whole-stage codegen covers every operator here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minimal function-word list present in the synthetic corpus; quality
+# scoring treats their share as a fluency signal
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_WORD_RE = r"\s+"
+# BPE-ish token split: words, digits runs, or single non-space symbols —
+# approximates subword tokenizers' pre-tokenization pass
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+
+def tokens(text_col: str | F.Column) -> F.Column:
+    return F.split(F.col(text_col) if isinstance(text_col, str) else text_col, _WORD_RE)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token/char counts, lexical diversity,
+    average token length, stopword ratio, whitespace-vs-BPE token
+    counts. One projection, zero shuffles.
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return df.select(
+        "doc_id",
+        "lang",
+        F.length(text_col).alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "lexical_diversity"
+        ),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band + stopword
+    presence + lexical diversity band (the classic C4/Gopher-style rule
+    family, expressed as one scalar expression).
+    """
+    stats = text_stats(df, text_col)
+    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+    stop_ok = F.col("stopword_ratio") > 0
+    div_ok = F.col("lexical_diversity") > 0.1
+    return stats.select(
+        "doc_id",
+        F.round(
+            (
+                length_ok.cast("double")
+                + stop_ok.cast("double")
+                + div_ok.cast("double")
+            )
+            / 3.0,
+            6,
+        ).alias("quality"),
+    )
+
+
+def char_ngrams(text_col: str | F.Column, n: int = 3) -> F.Column:
+    """Character n-gram array (language-ID features)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - n + 1, F.lit(1))),
+        lambda i: F.substring(col, i, n),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram-profile language ID: explode document char-trigrams,
+    broadcast-join the (lang, ngram, weight) profile table, argmax the
+    summed weight per doc. ``profiles`` is tiny (per-language top
+    n-grams) → broadcast; corpus shuffles once on doc_id.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(text_col)).alias("ngram")
+    )
+    scored = (
+        grams.join(F.broadcast(profiles), "ngram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("lang", F.struct(F.col("score"), F.col("lang"))).alias(
+            "predicted_lang"
+        ),
+        F.round(F.max("score"), 6).alias("lang_score"),
+    )
+
+
+def ngram_language_profiles(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang", top_n: int = 50
+) -> DataFrame:
+    """Build per-language trigram weight profiles from labeled docs
+    (train side of the language-ID heuristic)."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(lang_col).alias("lang"), F.explode(char_ngrams(text_col)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            "lang", "ngram", (F.lit(1.0) / F.col("rk").cast("double")).alias("weight")
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling document fingerprint: fold token xxhashes
+    with shift+xor (bitwise only — safe under ANSI overflow checks).
+    Equal fingerprints ⇒ equal token sequences (modulo 64-bit collision).
+    """
+    toks = tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.shiftleft(acc, 5)
+        .bitwiseXOR(F.shiftright(acc, 59))
+        .bitwiseXOR(F.xxhash64(t)),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,83 @@
+"""Vocabulary build / encode / decode — Keras Tokenizer semantics as
+dataflow (SURVEY.md §2 F1-F3; reference src/my_dbt_flow.py:323-340).
+
+Keras ``Tokenizer(filters='', lower=False, oov_token='<UNK>')``:
+- ``fit_on_texts``: word_index ordered by frequency desc, ids from 1,
+  with the OOV token at id 1 and real tokens from 2 (Keras inserts the
+  oov_token first). The reference then uses ``label = token_id - 1``
+  (my_dbt_flow.py:339-340) — preserved by callers, not here.
+- tie-break: Keras uses insertion order on equal counts, which is
+  nondeterministic under distribution; we define (freq desc, token asc)
+  as the canonical deterministic tie-break (SURVEY.md §7 watch-list 5)
+  and use it on both engine and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK = "<UNK>"
+UNK_ID = 1
+
+
+def build_vocab(
+    df: DataFrame, arr_col: str = "interactions", start_id: int = 2
+) -> DataFrame:
+    """F1: frequency-ranked token index → (token, freq, token_id).
+
+    Single explode + hash-agg; ranking window runs over the (small)
+    distinct-token set, not the corpus. At 100 TB the token set is the
+    SKU/word catalog — several orders smaller than the data; if even
+    that skews, rank via repartition-by-range instead.
+    """
+    counts = (
+        df.select(F.explode(arr_col).alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.withColumn("token_id", F.row_number().over(w) + (start_id - 1))
+
+
+def encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    arr_col: str = "interactions",
+    out_col: str = "encoded",
+) -> DataFrame:
+    """F2: token arrays → id arrays, OOV → UNK_ID.
+
+    Broadcast map-literal lookup: the vocab is collected into a
+    ``map<string,int>`` expression and applied with ``transform`` —
+    zero shuffles on the (huge) session side, vs the join-explode
+    alternative which would shuffle the corpus. Vocab sizes beyond
+    driver memory should switch to a broadcast join on exploded tokens.
+    """
+    pairs = vocab.select("token", "token_id").collect()
+    mapping = F.create_map(
+        *[F.lit(x) for row in pairs for x in (row["token"], row["token_id"])]
+    )
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(arr_col),
+            lambda t: F.coalesce(
+                F.element_at(mapping, t), F.lit(UNK_ID)
+            ).cast("int"),
+        ),
+    )
+
+
+def decode(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    out_col: str = "token",
+) -> DataFrame:
+    """F3: id → token via broadcast join (reference lstm_model.py:40)."""
+    inv = vocab.select(
+        F.col("token_id").alias(id_col), F.col("token").alias(out_col)
+    )
+    return df.join(F.broadcast(inv), id_col, "left")

@@ -1,0 +1,330 @@
+"""Event-log queries: the reference pipeline's semantics on the driver's
+``events`` table (SURVEY.md §2 A5/A9/A12/A13, B1-B3, D, E1, F, G).
+
+Shared sessionization subquery (flagship) is reused via
+``operators.sessionize.driver_session_events``; the DuckDB oracles
+re-state it as a CTE (``_SESS_CTE``) so both sides derive from
+identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.functions import json_get, pad_sequence
+from post_modern_stack_spark.operators import metrics as M
+from post_modern_stack_spark.operators import shaping, vocab
+from post_modern_stack_spark.operators.sessionize import (
+    EVENT_TYPES,
+    driver_events_exploded,
+    driver_session_events,
+)
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+_SESS_CTE = """
+    sess AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS session_date,
+             count(*)              AS n_events,
+             list(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+                  ORDER BY ts, event_id) AS inter
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+      HAVING count(*) >= 3
+    )
+"""
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins selection per key (A5 generalized from latest-ETL;
+    reference shopping_events_exploded.sql:7-13). Deterministic
+    (ts, event_id) tie-break; WindowGroupLimit prunes to 1 row per key
+    before any sort spill."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts_ms")
+    )
+
+
+@query(
+    "events_exploded",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           epoch_ms(ts) AS ts_ms,
+           strftime(first_value(CAST(ts AS DATE))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d') AS session_date
+    FROM events
+    """,
+)
+def q_events_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-1 parity on the driver table: JSON path extraction (B1) +
+    session-start stamping window (A9; reference
+    shopping_events_exploded.sql:14-29)."""
+    ev = load_table(spark, sf_dir, "events")
+    flat = driver_events_exploded(ev)
+    return flat.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "k",
+        "ts_ms",
+        F.date_format("session_date", "yyyy-MM-dd").alias("session_date"),
+    )
+
+
+@query(
+    "user_daily_value",
+    oracle="""
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           round(sum(value), 2)                   AS total_value,
+           count(*)                               AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+      AND ts >  TIMESTAMP '2024-01-02 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def q_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized tenant/date extraction shape (A12/A13; reference
+    my_dbt_flow.py:240-243): half-open time window + IN-list, grouped
+    daily rollup. Predicates push to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+            & (F.col("ts") > F.lit("2024-01-02 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_ms(ts) AS ts_ms,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_value
+    FROM events
+    """,
+)
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running analytic window per key (A9 family): same frame semantics
+    as the reference's first_value stamping, exercised as a cumulative
+    sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "split_assign",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT user_id,
+           strftime(session_date, '%Y-%m-%d') AS session_date,
+           CASE WHEN percent_rank() OVER (ORDER BY session_date, user_id) < 0.9
+                THEN 'train' ELSE 'test' END AS split
+    FROM sess
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered 90/10 split (E1; reference my_dbt_flow.py:256-268)
+    at session grain via percent_rank — the oracle-checkable exact
+    variant; ``shaping.split_by_time_cutoff`` is the 100 TB path."""
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    out = shaping.split_by_time(
+        sess.select("user_id", "session_date"), ["session_date", "user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_date", "yyyy-MM-dd").alias("session_date"),
+        "split",
+    )
+
+
+@query(
+    "session_xy",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT user_id,
+           array_to_string(list_slice(inter, 1, len(inter) - 1), ' ') AS x,
+           inter[-1] AS y,
+           concat(repeat('0 ', greatest(20 - (len(inter) - 1), 0)),
+                  array_to_string(
+                    list_slice(inter,
+                               greatest(len(inter) - 1 - 19, 1),
+                               len(inter) - 1), ' ')) AS x_padded
+    FROM sess
+    """,
+)
+def q_session_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset shaping (D2/D3/D4; reference my_dbt_flow.py:272-275,337):
+    x = prefix, y = last element, x_padded = left-0-pad/keep-last-20.
+    Arrays emitted as joined strings for hash stability."""
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    shaped = shaping.pad_dataset(shaping.xy_pairs(sess), "x", maxlen=20)
+    return shaped.select(
+        "user_id",
+        F.concat_ws(" ", "x").alias("x"),
+        F.col("y"),
+        F.concat_ws(" ", pad_sequence("x", 20, "0")).alias("x_padded"),
+    )
+
+
+@query(
+    "session_stats",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT count(*)                      AS n_sessions,
+           CAST(sum(len(inter)) AS BIGINT) AS n_interactions,
+           round(avg(len(inter)), 4)     AS avg_session_len,
+           min(len(inter))               AS min_session_len,
+           max(len(inter))               AS max_session_len,
+           count(DISTINCT user_id)       AS n_users
+    FROM sess
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset statistics (G1; reference my_reclist.py:6-16)."""
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    return M.dataset_stats(sess)
+
+
+@query(
+    "session_quality",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT count(*) - count(DISTINCT user_id) AS user_id_duplicates,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls
+    FROM sess
+    """,
+)
+def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt data tests as one aggregation (reference schema.yml:9-13:
+    unique + not_null on the session key). All counts must be 0."""
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    return M.data_quality_checks(sess, "user_id").select(
+        "user_id_duplicates", "user_id_nulls"
+    )
+
+
+@query(
+    "encode_sessions",
+    oracle=f"""
+    WITH {_SESS_CTE},
+    tokens AS (
+      SELECT unnest(inter) AS token FROM sess
+    ),
+    vocab AS (
+      SELECT token,
+             row_number() OVER (ORDER BY count(*) DESC, token) + 1 AS token_id
+      FROM tokens GROUP BY token
+    ),
+    vmap AS (
+      SELECT map_from_entries(list((token, token_id))) AS m FROM vocab
+    )
+    SELECT s.user_id,
+           array_to_string(
+             list_transform(s.inter, t -> CAST(coalesce(m[t][1], 1) AS VARCHAR)),
+             ' ') AS encoded
+    FROM sess s, vmap
+    """,
+)
+def q_encode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab build + token encode (F1/F2; reference
+    my_dbt_flow.py:323-333): frequency-ranked ids from 2 (id 1 = OOV,
+    Keras oov_token parity), broadcast map lookup on the session side."""
+    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    vb = vocab.build_vocab(sess, "interactions")
+    enc = vocab.encode(sess, vb, "interactions")
+    return enc.select(
+        "user_id",
+        F.concat_ws(
+            " ", F.transform(F.col("encoded"), lambda x: x.cast("string"))
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "hit_rate_popularity",
+    oracle=f"""
+    WITH {_SESS_CTE},
+    pop AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             count(*) AS freq
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY 1
+      QUALIFY row_number() OVER (ORDER BY count(*) DESC, k) <= 10
+    )
+    SELECT round(avg(CASE WHEN CAST(inter[-1] AS BIGINT) IN (SELECT k FROM pop)
+                          THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+    FROM sess
+    """,
+)
+def q_hit_rate_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HitRate@10 (G2; reference my_reclist.py:18-26) against a
+    popularity-baseline recommender: top-10 most frequent items, hit if
+    the session's held-out last item is among them. The top-10 list
+    broadcasts into an array_contains — no join shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    flat = ev.filter(F.col("event_type").isin(*EVENT_TYPES)).select(
+        json_get("props", "k", "long").alias("k")
+    )
+    top10 = (
+        flat.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("k"))
+        .limit(10)
+        .agg(F.collect_list("k").alias("preds"))
+    )
+    sess = driver_session_events(ev)
+    labeled = sess.select(
+        F.element_at(F.col("interactions"), -1).cast("long").alias("y")
+    ).crossJoin(F.broadcast(top10))
+    return M.hit_rate_at_k(labeled, "y", "preds")

@@ -1,0 +1,213 @@
+"""Relational operator queries over the TPC-H-ish tables
+(SURVEY.md §2 A1-A17, E2/E3 exercised at classic relational scale).
+
+Plan hygiene per query (verified via .explain("formatted")):
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins broadcast (region/nation/customer/part ≪ fact side);
+- aggregates run partial+final; top-K windows use WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed filter → hash agg (A3/A8/A10).
+
+    The classic partial-aggregate showcase: ~6 output groups mean the
+    map-side combine collapses virtually all rows before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*)                      AS n_orders,
+           row_number() OVER (ORDER BY round(sum(o.o_totalprice), 2) DESC, c.c_custkey) AS rank
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    QUALIFY rank <= 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + agg + deterministic top-K (A6/A8/E2).
+
+    Ranks on the ROUNDED revenue with c_custkey tie-break so engine and
+    oracle order identically even under double summation-order drift.
+    The final rank window is global but runs over customer-grain rows
+    (fact table already aggregated away) — WindowGroupLimit keeps only
+    10 rows per partition before the single-partition sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*)                      AS n_orders,
+           count(DISTINCT c.c_custkey)   AS n_customers
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup (A6 chain): every dimension broadcasts, the
+    orders fact never shuffles until the final 5-group aggregate."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "brand_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(avg(l.l_discount), 4)                           AS avg_discount,
+           count(*)                                              AS n_items
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension broadcast join over the widest fact table;
+    revenue expression stays inside whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open date-range + IN-list predicates (A11/A13) — both push
+    down to the parquet scan (min/max row-group skipping)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & F.col("o_orderstatus").isin("F", "O")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "supplier_balance_rank",
+    oracle="""
+    SELECT n.n_name,
+           s.s_name,
+           round(s.s_acctbal, 2) AS acctbal,
+           row_number() OVER (PARTITION BY n.n_name
+                              ORDER BY round(s.s_acctbal, 2) DESC, s.s_suppkey) AS rank
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    QUALIFY rank <= 3
+    """,
+)
+def q_supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K via row_number window (E2 relational form)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", "s_name", F.round(F.col("s_acctbal"), 2).alias("acctbal"), "s_suppkey"
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("acctbal"), F.asc("s_suppkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "s_name", "acctbal", "rank")
+    )

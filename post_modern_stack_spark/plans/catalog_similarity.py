@@ -1,0 +1,176 @@
+"""Similarity-search queries over the ``embeddings`` table
+(SURVEY.md §2 K3/K5/K6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.functions import l2_norm
+from post_modern_stack_spark.operators import similarity
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+_N_QUERIES = 10  # query-vector subset for the top-K catalog entries
+_K = 5
+
+
+@query(
+    "top_k_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id,
+             c.neighbor_id,
+             round(list_sum(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                   6) AS cos_sim
+      FROM q, c
+      WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """,
+)
+def q_top_k_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 exact baseline: brute-force cosine top-K, query side
+    broadcast, JVM-side double-precision dot products, deterministic
+    (cos_sim desc, neighbor_id) ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.brute_force_top_k(emb, queries, k=_K)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           label,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math built-ins (K5 plumbing): per-row L2 norm over the
+    array<float> column, all inside codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(similarity.as_double_array("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             round(list_sum(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                   6) AS cos_sim
+      FROM q, c WHERE q.query_id != c.neighbor_id
+    ),
+    topk AS (
+      SELECT query_id, label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+    ),
+    votes AS (
+      SELECT query_id, label, count(*) AS n_votes
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, n_votes
+    FROM votes
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) = 1
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 applied: k-NN majority-vote classification of query vectors —
+    top-K join back to labels, per-query argmax with deterministic
+    (votes desc, label) tie-break."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    topk = similarity.brute_force_top_k(emb, queries, k=_K)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(list_sum(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE) * x))), 6)
+             AS avg_sq_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregate (K5/K6 posture): per-label counts and
+    mean squared norm — partial aggregation applies, one shuffle on the
+    10-value label key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = similarity.as_double_array("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.avg(
+                F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v * v)
+            ),
+            6,
+        ).alias("avg_sq_norm"),
+    )
+
+
+@query("lsh_top_k")  # rows-only: approximate by design (bucket recall < 1)
+def q_lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path: random-hyperplane LSH bucketed top-K."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.rp_lsh_top_k(emb, queries, k=_K)

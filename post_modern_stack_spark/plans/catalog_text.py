@@ -1,0 +1,188 @@
+"""Text / dedup queries over the ``documents`` table
+(SURVEY.md §2 K1/K2/K4, F1 at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.operators import dedup, textstats
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+# small doc subset for the quadratic-verification pair queries — keeps
+# the oracle side tractable; the Spark operators themselves scale via
+# hashed shingle keys + LSH blocking
+_PAIR_LIMIT = 200
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id)  AS doc_id,
+           sha256(text) AS text_sha,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 exact dedup: sha2(text) group, keep lowest doc_id.
+    Shuffle key is the 32-byte digest, never the document body."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text)                       AS n_chars_computed,
+           len(string_split(text, ' '))       AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 6)    AS lexical_diversity,
+           round(list_sum(list_transform(string_split(text, ' '),
+                                         t -> length(t)))::DOUBLE
+                 / len(string_split(text, ' ')), 6)    AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+                 / len(string_split(text, ' ')), 6)    AS stopword_ratio,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]'))
+                                                       AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 per-document statistics — single projection, no shuffle."""
+    return textstats.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(((CASE WHEN len(string_split(text,' ')) BETWEEN 10 AND 1000
+                        THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN len(list_filter(string_split(text,' '),
+                               t -> t IN ('the','a','of','and','to','in'))) > 0
+                        THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN len(list_distinct(string_split(text,' ')))::DOUBLE
+                             / len(string_split(text,' ')) > 0.1
+                        THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 quality scoring (C4/Gopher-style rule family)."""
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT lang,
+           count(*)                 AS n_docs,
+           round(avg(n_chars), 2)   AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (K4 aggregate form)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(textstats.tokens("text"))), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "doc_vocab",
+    oracle="""
+    SELECT token,
+           count(*) AS freq,
+           row_number() OVER (ORDER BY count(*) DESC, token) + 1 AS token_id
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 at corpus scale: frequency-ranked vocabulary with
+    deterministic (freq desc, token) tie-break, ids from 2 (Keras
+    oov_token=1 parity; reference my_dbt_flow.py:323-331)."""
+    from post_modern_stack_spark.operators.vocab import build_vocab
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", r"\s+").alias("interactions")
+    )
+    return build_vocab(d, "interactions").select("token", "freq", "token_id")
+
+
+@query(
+    "jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+      WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 exact n-gram Jaccard near-dup pairs (the verification stage
+    of MinHash LSH, run standalone on a doc subset so the oracle's
+    string-keyed join stays tractable; Spark joins on xxhash64(shingle))."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.jaccard_pairs(d, min_jaccard=0.2)
+
+
+@query("minhash_candidates")  # rows-only: hash-seed-dependent, no SQL oracle
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 MinHash+LSH candidate pairs (64 hashes, 16 bands × 4 rows).
+    Candidate generation only — pairs sharing ≥1 signature band."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.minhash_lsh_candidates(d)
+
+
+@query("simhash_near_dups")  # rows-only: hash-seed-dependent
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 SimHash near-dup pairs (64-bit signature, 16-bit bands,
+    Hamming ≤ 8)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.simhash_near_dups(d)
+
+
+@query("language_id")  # rows-only: profile-training composition is engine-defined
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 language-ID: char-trigram profiles from the labeled corpus,
+    applied back via broadcast join + argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    profiles = textstats.ngram_language_profiles(d)
+    return textstats.language_id(d, profiles)
+
+
+@query("doc_fingerprint")  # rows-only: xxhash64-based, no DuckDB twin
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 order-sensitive rolling document fingerprint."""
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))

@@ -73,3 +73,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.concat_ws(" ", "interactions").alias("interactions"),
     )
+
+
+# --- catalog modules register themselves via @query on import -------------
+# (import at module end: they import `query` from this module)
+from post_modern_stack_spark.plans import (  # noqa: E402,F401
+    catalog_events,
+    catalog_relational,
+    catalog_similarity,
+    catalog_text,
+)
