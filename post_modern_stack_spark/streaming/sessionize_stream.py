@@ -1,0 +1,206 @@
+"""Streaming sessionization (SURVEY.md §2 J1-J5).
+
+The reference batch-simulates a stream: an append-only log reloaded per
+ETL (reference README.md:80). Here the same semantics run incrementally:
+
+- J1: file stream source over the events parquet layout; parquet sink
+  with checkpointing.
+- J2: event-time watermark bounding late data and state.
+- J3: sessionization both by explicit session key (the reference's
+  pre-keyed ``session_id``) and by inactivity gap
+  (``session_window``) for keyless streams.
+- J4: tumbling/sliding event-time windows.
+- J5: stateful time-ordered interaction-array accumulation via
+  ``applyInPandasWithState`` — the one genuinely custom stateful
+  operator (ordered A7 semantics under incremental arrival).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# physical schema of the driver's events parquet (ts stored as ns long
+# when read with nanosAsLong — streaming sources need an explicit schema)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # raw ns
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """J1 source: incremental parquet file stream, normalized to the
+    registry's (ts, ts_ns, ts_ms) triplet."""
+    from post_modern_stack_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+        .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """J4 + J2: tumbling (or sliding) event-time aggregation with a
+    watermark; identical semantics in batch (run on a static frame the
+    window fn degrades to a plain groupBy — the parity test relies on
+    this)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def gap_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """J3 keyless-gap variant: ``session_window`` sessionization by
+    inactivity gap — for sources with no session key (the reference
+    always has one; this is the generalization)."""
+    wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ns", T.ArrayType(T.LongType()), True),
+        T.StructField("event_id", T.ArrayType(T.LongType()), True),
+        T.StructField("k", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("interactions", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def _accumulate_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """J5 state update: accumulate (ts_ns, event_id, k) per user; emit
+    the ordered interaction array when the processing-time timeout
+    fires (session close). Ordering is applied at emission — the A7
+    sort-struct contract under out-of-order arrival.
+    """
+    if state.hasTimedOut:
+        (ts_ns, event_id, k) = state.get
+        rows = sorted(zip(ts_ns, event_id, k))
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(rows)],
+                "interactions": [[r[2] for r in rows]],
+            }
+        )
+        return
+    ts_ns: list[int] = []
+    event_id: list[int] = []
+    k: list[str] = []
+    if state.exists:
+        (ts_ns, event_id, k) = state.get
+        ts_ns, event_id, k = list(ts_ns), list(event_id), list(k)
+    for pdf in pdfs:
+        ts_ns.extend(int(x) for x in pdf["ts_ns"])
+        event_id.extend(int(x) for x in pdf["event_id"])
+        k.extend(str(x) for x in pdf["k"])
+    state.update((ts_ns, event_id, k))
+    state.setTimeoutDuration(5_000)  # close session after 5 s quiet
+    yield pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "n_events": pd.Series([], dtype="int64"),
+         "interactions": pd.Series([], dtype="object")}
+    )
+
+
+def stateful_session_arrays(events: DataFrame) -> DataFrame:
+    """J5: custom stateful ordered-array accumulation
+    (``applyInPandasWithState``, processing-time session timeout).
+
+    Input: the normalized event stream. Output: one row per closed
+    session with the time-ordered interaction array — streaming parity
+    with the batch flagship (catalog ``sessionize``).
+    """
+    prepped = events.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _accumulate_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame, out_path: str, checkpoint: str, trigger_available_now: bool = True
+) -> Any:
+    """J1 sink: append-mode parquet with checkpointing (exactly-once
+    file sink — the streaming COPY INTO)."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
