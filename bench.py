@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +33,17 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Python/Arrow worker pool too (first pandas UDF in a
+    # session pays ~8 s of interpreter+Arrow startup otherwise)
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(32).select(_warm(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     total0 = time.perf_counter()
     for name, fn in qs.items():

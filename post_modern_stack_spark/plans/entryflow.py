@@ -79,6 +79,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (import at module end: they import `query` from this module)
 from post_modern_stack_spark.plans import (  # noqa: E402,F401
     catalog_events,
+    catalog_json,
     catalog_relational,
     catalog_similarity,
     catalog_text,

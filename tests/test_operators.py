@@ -1,0 +1,158 @@
+"""Unit + property tests for the function/operator layer
+(SURVEY.md §5 strategies 4-5): padding edges, ordered-collect ties,
+split semantics, vocab round-trip, dedup recall.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.functions import (
+    cosine_similarity,
+    last_element,
+    normalize_sku,
+    ordered_collect,
+    pad_sequence,
+    slice_drop_last,
+)
+from post_modern_stack_spark.operators import dedup, shaping, vocab
+
+
+def _arr_df(spark, arrs):
+    return spark.createDataFrame([Row(i=i, a=a) for i, a in enumerate(arrs)])
+
+
+def test_pad_sequence_edges(spark):
+    df = _arr_df(spark, [[1, 2], [], [9, 8, 7, 6, 5]])
+    out = {r["i"]: r["p"] for r in df.select("i", pad_sequence("a", 4).alias("p")).collect()}
+    assert out[0] == [0, 0, 1, 2]          # left-pad
+    assert out[1] == [0, 0, 0, 0]          # empty → all pad
+    assert out[2] == [8, 7, 6, 5]          # keep LAST maxlen (pre-truncation)
+
+
+def test_slice_and_last_on_edge_arrays(spark):
+    df = _arr_df(spark, [[1], []])
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            slice_drop_last("a").alias("x"),
+            last_element("a").alias("y"),
+        ).collect()
+    }
+    assert rows[0]["x"] == [] and rows[0]["y"] == 1
+    assert rows[1]["x"] == [] and rows[1]["y"] is None  # ANSI-safe NULL
+
+
+def test_ordered_collect_tie_break(spark):
+    rows = [
+        Row(g=1, ts=10, v="b"),
+        Row(g=1, ts=10, v="a"),  # tie on ts → v ascending
+        Row(g=1, ts=5, v="z"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.groupBy("g")
+        .agg(ordered_collect("v", "ts", "v").alias("arr"))
+        .collect()[0]["arr"]
+    )
+    assert out == ["z", "a", "b"]
+
+
+def test_normalize_sku(spark):
+    df = spark.createDataFrame([Row(s="My SKU Name"), Row(s=None)])
+    got = [r["n"] for r in df.select(normalize_sku("s").alias("n")).collect()]
+    assert got == ["my_sku_name", None]
+
+
+def test_cosine_zero_vector_null_not_error(spark):
+    df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 2.0])])
+    assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_split_by_time_cutoff_fractions(spark):
+    df = spark.range(1000).withColumn("ts", F.col("id"))
+    out = shaping.split_by_time_cutoff(df, "ts", 0.9)
+    frac = out.filter(F.col("split") == "train").count() / 1000
+    assert 0.88 <= frac <= 0.92
+
+
+def test_vocab_encode_decode_roundtrip(spark):
+    sessions = _arr_df(spark, [["a", "b", "a"], ["b", "c"], ["a"]]).withColumnRenamed(
+        "a", "interactions"
+    )
+    vb = vocab.build_vocab(sessions, "interactions")
+    ranked = {r["token"]: (r["token_id"], r["freq"]) for r in vb.collect()}
+    # freq: a=3, b=2, c=1 → ids 2,3,4 (id 1 reserved for OOV)
+    assert ranked == {"a": (2, 3), "b": (3, 2), "c": (4, 1)}
+    enc = vocab.encode(sessions, vb, "interactions")
+    got = {tuple(r["interactions"]): r["encoded"] for r in enc.collect()}
+    assert got[("a", "b", "a")] == [2, 3, 2]
+    # decode inverts encode for in-vocab ids
+    dec = vocab.decode(
+        enc.select(F.explode("encoded").alias("token_id")), vb, "token_id"
+    )
+    assert dec.filter(F.col("token").isNull()).count() == 0
+
+
+def test_vocab_oov_maps_to_unk(spark):
+    train = _arr_df(spark, [["a", "b"]]).withColumnRenamed("a", "interactions")
+    test = _arr_df(spark, [["a", "zzz"]]).withColumnRenamed("a", "interactions")
+    vb = vocab.build_vocab(train, "interactions")
+    enc = vocab.encode(test, vb, "interactions").collect()[0]["encoded"]
+    assert enc[1] == vocab.UNK_ID
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"), Row(doc_id=9, text="other")]
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {2: 2, 9: 1}
+
+
+def test_minhash_candidates_catch_near_dups(spark):
+    """Recall property: a heavily-overlapping pair must be a candidate;
+    jaccard verification must score it near 1."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = " ".join(f"tok{i}" for i in range(49)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in cands
+    assert all(3 not in pair for pair in cands)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(df).collect()}
+    assert jac[(1, 2)] > 0.85
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"), Row(doc_id=2, text="alpha beta gamma delta")]
+    )
+    pairs = dedup.simhash_near_dups(df, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """The RP-LSH approximate top-K must recover a reasonable share of
+    the exact top-5 at 8 bits on 500 vectors (recall sanity, not a
+    tight bound — buckets are coarse by design)."""
+    from post_modern_stack_spark.operators import similarity
+    from post_modern_stack_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.rp_lsh_top_k(emb, queries, k=5, bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
