@@ -186,6 +186,140 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')     AS orderdate,
+           o.o_orderpriority,
+           row_number() OVER (
+             ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                      l.l_orderkey) AS rank
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1999-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    QUALIFY rank <= 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into a
+    two-fact join chain, then grouped revenue + deterministic top-10.
+    The c_mktsegment filter prunes the customer build side before
+    broadcast; both date predicates push to the fact scans."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01 00:00:00").cast("timestamp")
+    )
+    agg = (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "rank",
+        )
+    )
+
+
+@query(
+    "returned_items_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           count(DISTINCT c.c_custkey)                           AS n_customers,
+           count(*)                                              AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY n.n_name
+    """,
+)
+def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-items rollup through a 4-table chain.
+    orders is the only non-broadcastable side at real scale — at sf it
+    broadcasts too; the plan keeps lineitem (widest) shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(avg(epoch_ms(o_orderdate)
+                     - lag_ms), 2) AS avg_gap_ms
+    FROM (
+      SELECT o_custkey, o_orderdate,
+             lag(epoch_ms(o_orderdate)) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey)
+               AS lag_ms
+      FROM orders
+    )
+    GROUP BY o_custkey
+    """,
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic family (A9 generalization): inter-order gap
+    per customer — lag window then grouped average. One shuffle, reused
+    by both the window and the aggregation (same key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP — the
+    # cast is wall-clock-preserving under the pinned UTC session tz,
+    # matching DuckDB's epoch_ms on the ntz value.
+    od_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    with_lag = o.select(
+        "o_custkey",
+        od_ms.alias("od_ms"),
+        F.lag(od_ms).over(w).alias("lag_ms"),
+    )
+    return with_lag.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg(F.col("od_ms") - F.col("lag_ms")), 2).alias("avg_gap_ms"),
+    )
+
+
+@query(
     "supplier_balance_rank",
     oracle="""
     SELECT n.n_name,

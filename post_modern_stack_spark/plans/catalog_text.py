@@ -175,10 +175,12 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("language_id")  # rows-only: profile-training composition is engine-defined
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 language-ID: char-trigram profiles from the labeled corpus,
-    applied back via broadcast join + argmax."""
+    """K4 language-ID: char-trigram profiles trained on a deterministic
+    10% sample (profiles are a small artifact — training on the full
+    corpus doubles the trigram explode for no profile gain), applied to
+    the full corpus via broadcast join + argmax."""
     d = load_table(spark, sf_dir, "documents")
-    profiles = textstats.ngram_language_profiles(d)
+    profiles = textstats.ngram_language_profiles(d.filter(F.col("doc_id") % 10 == 0))
     return textstats.language_id(d, profiles)
 
 
