@@ -1,0 +1,138 @@
+"""H1-H3 source/sink round-trips + hypothesis property tests for the
+shaping primitives (SURVEY.md §5 strategy 4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from post_modern_stack_spark.functions import ordered_collect, pad_sequence
+from post_modern_stack_spark.registry import load_table
+from post_modern_stack_spark.sources import ingest
+
+
+def test_csv_roundtrip_quote_all_gzip(spark, tmp_path):
+    """H1/H2/H3: quote-all gzip CSV out, explicit-schema read back —
+    values (incl. embedded commas/quotes) survive the trip."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name='comma, and "quote"', amount=1.5),
+            Row(id=2, name=None, amount=-2.25),
+            Row(id=3, name="plain", amount=0.0),
+        ],
+        schema,
+    )
+    path = str(tmp_path / "csvout")
+    ingest.write_csv(df, path)
+    back = ingest.read_csv(spark, path, schema)
+    assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
+        df.collect(), key=lambda r: r["id"]
+    )
+    # gzip applied (H2)
+    import glob
+
+    assert glob.glob(path + "/*.csv.gz")
+
+
+def test_ingest_partitioned_by_tenant(spark, tmp_path):
+    """The api_key partition layout (the 100 TB pruning decision)."""
+    sessions = spark.createDataFrame(
+        [
+            Row(
+                events=[
+                    Row(
+                        event_type="event_product",
+                        hashed_url="u",
+                        product_action="detail",
+                        product_sku="s",
+                        server_timestamp_epoch_ms="1547528000000",
+                        session_id="s1",
+                    )
+                ]
+            )
+        ]
+    )
+    out = str(tmp_path / "raw")
+    ingest.ingest_events(sessions, out, "tenant-x")
+    import os
+
+    assert any(d.startswith("api_key=tenant-x") for d in os.listdir(out))
+    # partition-pruned read path
+    raw = ingest.read_raw_events(spark, out).filter(F.col("api_key") == "tenant-x")
+    assert raw.count() == 1
+
+
+# --- hypothesis property tests (driver-side example generation, one
+# Spark round-trip per example batch — examples kept small) -----------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 99), max_size=30), min_size=1, max_size=8),
+    st.integers(1, 25),
+)
+def test_pad_sequence_properties(arrs, maxlen):
+    spark = _session()
+    df = spark.createDataFrame(
+        [Row(i=i, a=a) for i, a in enumerate(arrs)],
+        T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("a", T.ArrayType(T.IntegerType()), True),
+            ]
+        ),
+    )
+    out = df.select("i", "a", pad_sequence("a", maxlen).alias("p")).collect()
+    for r in out:
+        assert len(r["p"]) == maxlen  # always exact width
+        tail = r["a"][-maxlen:]
+        assert r["p"] == [0] * (maxlen - len(tail)) + tail  # keras parity
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10), st.text("abc", max_size=3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ordered_collect_matches_python_sort(rows):
+    spark = _session()
+    df = spark.createDataFrame(
+        [Row(g=g, ts=ts, v=v) for g, ts, v in rows],
+        T.StructType(
+            [
+                T.StructField("g", T.IntegerType()),
+                T.StructField("ts", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    ).repartition(8)  # force shuffle nondeterminism into collect_list
+    got = {
+        r["g"]: r["arr"]
+        for r in df.groupBy("g")
+        .agg(ordered_collect("v", "ts", "v").alias("arr"))
+        .collect()
+    }
+    expect: dict[int, list[str]] = {}
+    for g, ts, v in sorted(rows, key=lambda x: (x[1], x[2])):
+        expect.setdefault(g, []).append(v)
+    assert got == expect
+
+
+def _session():
+    from post_modern_stack_spark.session import get_spark
+
+    return get_spark(app_name="pmss-tests", shuffle_partitions=8)
