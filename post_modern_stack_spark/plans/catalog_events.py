@@ -291,6 +291,92 @@ def q_encode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gap_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts)
+                       - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 30 * 60 * 1000
+                  OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           count(*)                   AS n_events,
+           epoch_ms(min(ts))          AS session_start_ms,
+           epoch_ms(max(ts))          AS session_end_ms,
+           round(sum(value), 2)       AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 batch analog with an exact oracle: inactivity-gap
+    sessionization via the lag-flag + running-sum idiom (the relational
+    equivalent of ``F.session_window``; that streaming-native form is
+    exercised in streaming/). 30-minute gap; both window passes share
+    the user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts_ns",
+        "ts_ms",
+        "value",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w_order) > 30 * 60 * 1000)
+            | F.lag("ts_ms").over(w_order).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn("session_no", F.sum("new_session").over(w_run))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant
+    FROM events
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 option (c) from SURVEY.md §1.1: Spark 4 VariantType —
+    ``parse_json`` + ``try_variant_get``, the closest semantic match to
+    Snowflake's VARIANT path extraction (NULL on missing/malformed)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_variant"),
+    )
+
+
+@query(
     "hit_rate_popularity",
     oracle=f"""
     WITH {_SESS_CTE},

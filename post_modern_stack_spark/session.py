@@ -42,6 +42,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs executors inside the driver JVM; the 1g
+        # default heap GC-thrashes under 32 task threads. Sized for the
+        # 128 GiB container; on a real cluster executor memory is the
+        # knob instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
