@@ -1,0 +1,138 @@
+"""Scale probe: synthesize N-row event tables (deterministic, driver-
+testdata-shaped) and time the heavy operators across a 10× ladder to
+verify near-linear scaling of the chosen plans (SURVEY.md §6 posture:
+the goal is 100 TB behavior, not sf0.1 wall-clock).
+
+    python scripts/scale_probe.py [--rows 1000000 10000000] [--users-frac 0.001]
+
+Writes nothing outside /tmp. Prints one JSON line per (rows, query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def synthesize(spark, n_rows: int, n_users: int, path: str) -> str:
+    """Events-shaped table: monotonically increasing ns timestamps,
+    hash-scattered users, JSON props — written as parquet so probes
+    include scan cost."""
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.lit(1_700_000_000_000_000_000) + F.col("id") * 1_000_000).alias("ts"),
+            F.pmod(F.xxhash64("id"), F.lit(n_users)).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ["view", "click", "purchase", "signup", "error"]]),
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)) / 100.0).alias("value"),
+            F.concat(
+                F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100)), F.lit("}")
+            ).alias("props"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_queries(spark, path: str):
+    """The shuffle/window/agg-heavy subset, rebuilt on the synthetic
+    table (registry-compatible columns)."""
+    from post_modern_stack_spark.functions import json_get, ordered_collect
+
+    def load():
+        df = spark.read.parquet(path)
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+        )
+
+    def sessionize():
+        ev = load()
+        return (
+            ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "event_id", "ts_ns", "ts", json_get("props", "k", "long").alias("k"))
+            .groupBy("user_id")
+            .agg(
+                F.to_date(F.min("ts")).alias("session_date"),
+                F.count(F.lit(1)).alias("n_events"),
+                ordered_collect(F.col("k").cast("string"), "ts_ns", "event_id").alias("interactions"),
+            )
+            .filter(F.col("n_events") >= 3)
+        )
+
+    def latest_per_user():
+        from pyspark.sql import Window
+
+        ev = load()
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+        return ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+            "user_id", "event_id", "ts_ms"
+        )
+
+    def windowed_running():
+        from pyspark.sql import Window
+
+        ev = load()
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_ns", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.select("event_id", "user_id", F.sum("value").over(w).alias("run"))
+
+    def daily_agg():
+        ev = load()
+        return (
+            ev.groupBy("user_id", F.to_date("ts").alias("d"))
+            .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+        )
+
+    return {
+        "sessionize": sessionize,
+        "latest_per_user": latest_per_user,
+        "windowed_running": windowed_running,
+        "daily_agg": daily_agg,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, nargs="+", default=[1_000_000, 10_000_000])
+    ap.add_argument("--users-frac", type=float, default=0.001)
+    args = ap.parse_args()
+
+    from post_modern_stack_spark.session import get_spark
+
+    spark = get_spark(app_name="pmss-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="pmss-scale-")
+    try:
+        for n in args.rows:
+            path = f"{base}/events_{n}"
+            synthesize(spark, n, max(int(n * args.users_frac), 10), path)
+            for name, build in probe_queries(spark, path).items():
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 2)
+                print(json.dumps({"rows": n, "query": name, "sec": dt}), flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
