@@ -70,6 +70,38 @@ def encode(
     )
 
 
+def encode_via_join(
+    df: DataFrame,
+    vocab: DataFrame,
+    arr_col: str = "interactions",
+    out_col: str = "encoded",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """F2 scale path for vocabularies too large to collect into a map
+    literal: posexplode tokens (keeping positions), broadcast-join the
+    vocab, re-assemble arrays ordered by position.
+
+    Costs one shuffle on the row keys (the re-collect); use
+    :func:`encode` (zero-shuffle map lookup) whenever the vocab fits in
+    the driver. Results are identical — see the parity test.
+    """
+    keys = keys or [c for c in df.columns if c != arr_col]
+    exploded = df.select(
+        *keys, F.posexplode(arr_col).alias("_pos", "token")
+    )
+    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    encoded = joined.withColumn(
+        "_id", F.coalesce(F.col("token_id"), F.lit(UNK_ID)).cast("int")
+    )
+    from post_modern_stack_spark.functions import ordered_collect
+
+    return (
+        encoded.groupBy(*keys)
+        .agg(ordered_collect("_id", "_pos").alias(out_col))
+        .join(df, keys)
+    )
+
+
 def decode(
     df: DataFrame,
     vocab: DataFrame,
