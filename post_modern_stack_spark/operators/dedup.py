@@ -182,6 +182,70 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → duplicate
+    clusters (the final step of corpus dedup: keep one doc per cluster).
+
+    Distributed min-label propagation: every node starts labeled with
+    its own id; each iteration joins labels across edges and takes the
+    min; stops when no label changes. Iterations ≈ graph diameter —
+    near-dup graphs are dense clumps with tiny diameters, so this
+    converges in a few rounds at any corpus size (the classic
+    large-star/small-star simplification).
+
+    Returns (doc_id, cluster_id) where cluster_id = min doc id in the
+    component. Plain iterative DataFrame joins — checkpoint-friendly,
+    no driver-side graph.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every iteration — cut its lineage once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint truncates the per-iteration lineage:
+        # without it every round re-plans (and re-runs) all prior
+        # rounds — plan compilation alone goes super-linear.
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -173,6 +173,22 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(d)
 
 
+@query("near_dup_clusters")  # rows-only: hash-seeded candidate generation
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-to-end dedup pipeline: MinHash-LSH candidates → exact
+    Jaccard verification (≥ 0.5) → connected-components clustering →
+    one row per document with its cluster id (keep ``doc_id ==
+    cluster_id`` rows to dedup). Composes the three dedup stages the
+    way a production corpus dedup would run them."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    candidates = dedup.minhash_lsh_candidates(d)
+    verified = (
+        dedup.jaccard_pairs(d, min_jaccard=0.5)
+        .join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    )
+    return dedup.cluster_pairs(verified)
+
+
 @query("language_id")  # rows-only: profile-training composition is engine-defined
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 language-ID: char-trigram profiles trained on a deterministic
