@@ -168,6 +168,15 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_top_k")  # rows-only: approximate by design (probe recall < 1)
+def q_ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path 2: IVF-partitioned approximate top-K (16 cells,
+    4 probes → ~25% of the corpus scored per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.ivf_top_k(emb, queries, k=_K)
+
+
 @query("lsh_top_k")  # rows-only: approximate by design (bucket recall < 1)
 def q_lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path: random-hyperplane LSH bucketed top-K."""

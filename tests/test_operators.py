@@ -156,3 +156,23 @@ def test_lsh_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 4/16 probes must beat coarse-LSH recall on the same
+    corpus (probing nearest cells is a targeted candidate set)."""
+    from post_modern_stack_spark.operators import similarity
+    from post_modern_stack_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_top_k(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"IVF recall collapsed: {recall}"

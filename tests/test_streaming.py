@@ -76,6 +76,28 @@ def test_gap_sessions_stream_runs(spark, events_dir):
     }
 
 
+def test_foreachbatch_ingest_roundtrip(spark, events_dir, tmp_path):
+    """Streaming ingest writes the raw-log layout; every input event
+    lands exactly once with a batch-derived etl_id and the tenant
+    partition."""
+    from post_modern_stack_spark.streaming.ingest_stream import start_ingest_stream
+
+    out = str(tmp_path / "rawlog")
+    ckpt = str(tmp_path / "ckpt")
+    stream = S.stream_events(spark, events_dir)
+    q = start_ingest_stream(stream, out, ckpt, api_key="tenant-s")
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    n_in = load_table(spark, SF, "events").count()
+    assert raw.count() == n_in
+    assert set(raw.select("api_key").distinct().toPandas()["api_key"]) == {"tenant-s"}
+    assert raw.select("etl_id").distinct().count() >= 1
+    # the written log is consumable by the batch JSON-extraction path
+    k = raw.select(F.get_json_object("raw_data", "$.session_id").alias("sid"))
+    assert k.filter(F.col("sid").isNull()).count() == 0
+
+
 def test_stateful_session_arrays_parity(spark, events_dir, tmp_path):
     """J5: the stateful operator must reproduce the batch flagship's
     per-user ordered arrays once all sessions time out."""
