@@ -278,8 +278,14 @@ def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_encode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab build + token encode (F1/F2; reference
     my_dbt_flow.py:323-333): frequency-ranked ids from 2 (id 1 = OOV,
-    Keras oov_token parity), broadcast map lookup on the session side."""
-    sess = driver_session_events(load_table(spark, sf_dir, "events"))
+    Keras oov_token parity), broadcast map lookup on the session side.
+
+    localCheckpoint: the vocab build collects token counts (one job)
+    and the encode re-reads the sessions (second job) — without it the
+    sessionization shuffle runs twice."""
+    sess = driver_session_events(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint()
     vb = vocab.build_vocab(sess, "interactions")
     enc = vocab.encode(sess, vb, "interactions")
     return enc.select(
