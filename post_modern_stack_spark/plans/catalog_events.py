@@ -383,6 +383,36 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type count matrix. The
+    explicit value list keeps the schema static (no extra pass to
+    discover pivot values) — mandatory at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+@query(
     "hit_rate_popularity",
     oracle=f"""
     WITH {_SESS_CTE},

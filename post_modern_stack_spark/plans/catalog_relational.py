@@ -371,6 +371,180 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "priority_shipmode_counts",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside sum) —
+    two complementary counts in one pass, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-09-01 00:00:00'
+    """,
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total aggregate in a
+    single aggregation (LIKE-prefix predicate inside the CASE)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-09-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(promo, rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "small_quantity_orders",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*)                       AS n_small_lines,
+           round(sum(l.l_extendedprice), 2) AS blocked_revenue
+    FROM lineitem l
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.half_avg_qty
+    """,
+)
+def q_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) decorrelated into an aggregate + self-join — the
+    classic rewrite Catalyst expects; threshold side is the small
+    aggregated frame, so it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("blocked_revenue"),
+        )
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL')  AS region,
+           coalesce(n.n_name, 'ALL')  AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*)                   AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP(region, nation) produces
+    per-nation, per-region, and grand-total rows in ONE pass (Catalyst
+    Expand) instead of three scans + union."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "orders_vs_lineitem_custkeys",
+    oracle="""
+    SELECT 'both' AS bucket, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS bucket, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_orders_vs_lineitem_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT over key sets + UNION ALL of
+    the bucketed counts (Catalyst plans these as semi/anti joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_keys.intersect(o_keys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    f_only = f_keys.exceptAll(o_keys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("f_only").alias("bucket"), "n"
+    )
+    return both.unionAll(f_only)
+
+
+@query(
     "supplier_balance_rank",
     oracle="""
     SELECT n.n_name,
