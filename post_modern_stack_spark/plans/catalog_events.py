@@ -383,6 +383,46 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_stats_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS median_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           round(stddev_samp(value), 4)         AS stddev_value,
+           round(corr(value, CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                                                AS corr_value_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: exact interpolated percentiles
+    (``percentile``, the sort-based exact form — ``percentile_approx``
+    is the 100 TB path, see approx_sketches), sample stddev, Pearson
+    correlation. One hash-agg pass."""
+    ev = load_table(spark, sf_dir, "events")
+    k = json_get("props", "k", "long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.corr("value", k), 4).alias("corr_value_k"),
+    )
+
+
+@query("stratified_sample")  # rows-only: Spark-RNG-dependent row membership
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling (LLM-pipeline staple: rebalance
+    classes/languages before training): ``sampleBy`` with per-stratum
+    fractions, seeded. Membership depends on Spark's partition RNG so
+    there is no SQL oracle; the pytest invariant checks the fractions."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 0.0}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
     "user_event_type_pivot",
     oracle="""
     SELECT user_id,
