@@ -58,6 +58,58 @@ def test_salted_ordered_collect_matches_plain(spark):
     assert salted == plain
 
 
+def test_compaction_preserves_data(spark, tmp_path):
+    """Fragmented layout → compact to 2 files; contents identical."""
+    import glob
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SF, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 16
+    before = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+    n = layout.compact(spark, path, target_files=2, sort_cols=["ts_ns"])
+    assert n <= 2
+    after = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_clustered_write_narrow_file_ranges(spark, tmp_path):
+    """Range-clustered files carry disjoint-ish user_id ranges (file
+    stats enable pruning); data round-trips exactly."""
+    import pyarrow.parquet as pq
+    import glob
+
+    path = str(tmp_path / "clustered")
+    ev = load_table(spark, SF, "events")
+    layout.write_clustered(
+        ev.select("event_id", "user_id", "ts_ns", "value"),
+        path,
+        ["user_id"],
+        sort_cols=["user_id", "ts_ns"],
+        partitions=4,
+    )
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # consecutive files must not fully overlap (clustering did happen)
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b and a < d)
+    assert overlaps <= len(ranges) // 2
+    assert spark.read.parquet(path).count() == ev.count()
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the join key: the join plan must contain
     no Exchange (the 100 TB co-location payoff). Managed tables land in
