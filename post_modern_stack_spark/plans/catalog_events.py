@@ -410,6 +410,36 @@ def q_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("predict_hit_rate")  # rows-only: model scores are engine-defined
+def q_predict_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full inference loop distributed (reference test_model step,
+    my_dbt_flow.py:409-429): sessions → x/y split → encode → pad →
+    batched top-K predict (Arrow UDF, popularity-baseline model) →
+    HitRate@10. One row out; exercises every stage of the ML boundary
+    in a single lazy plan."""
+    from post_modern_stack_spark.functions import pad_sequence
+    from post_modern_stack_spark.operators import inference, metrics, shaping, vocab
+
+    sess = driver_session_events(load_table(spark, sf_dir, "events")).localCheckpoint()
+    shaped = shaping.xy_pairs(sess, "interactions")
+    vb = vocab.build_vocab(shaped, "x")
+    enc = (
+        vocab.encode(shaped, vb, "x", "x_enc")
+        .join(
+            F.broadcast(vb.select(F.col("token").alias("y"), "token_id")),
+            "y",
+            "left",
+        )
+        .withColumn("y_enc", F.coalesce("token_id", F.lit(vocab.UNK_ID)).cast("int"))
+        .withColumn("x_padded", pad_sequence("x_enc", 20, 0))
+    )
+    n_classes = vb.count() + 2  # ids 1..vocab+1
+    pred = inference.batched_top_k_predict(
+        enc, inference.popularity_model(n_classes), k=10
+    )
+    return metrics.hit_rate_at_k(pred, "y_enc", "preds")
+
+
 @query("stratified_sample")  # rows-only: Spark-RNG-dependent row membership
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling (LLM-pipeline staple: rebalance
