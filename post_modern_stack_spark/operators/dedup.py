@@ -96,6 +96,11 @@ def minhash_lsh_candidates(
     counts. Verification (exact Jaccard) is a separate operator so its
     cost is explicit.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); trailing hashes would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
@@ -243,6 +248,13 @@ def cluster_pairs(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning unconverged labels would silently split components
+        # (duplicate docs survive dedup); fail loudly instead
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iterations} iterations "
+            "(component diameter exceeds the budget); raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

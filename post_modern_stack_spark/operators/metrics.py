@@ -50,7 +50,9 @@ def data_quality_checks(
     must be 0. Used by the pipeline's fail-fast stage (I2).
     """
     aggs = [
-        (F.count(F.lit(1)) - F.count_distinct(F.col(unique_col))).alias(
+        # count(col), not count(*): NULLs are not duplicates (dbt
+        # `unique` semantics; not_null reports them separately)
+        (F.count(F.col(unique_col)) - F.count_distinct(F.col(unique_col))).alias(
             f"{unique_col}_duplicates"
         ),
         F.sum(F.col(unique_col).isNull().cast("long")).alias(f"{unique_col}_nulls"),

@@ -21,10 +21,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Uniform pseudo-random salt derived from a whole-row hash —
-    deterministic for a given row, no RNG state on executors."""
+    """Uniform salt independent of row CONTENT: byte-identical rows
+    (repeated heartbeats on a hot key) must still spread over buckets —
+    a content hash would give every copy the same salt and defeat the
+    whole mechanism. ``monotonically_increasing_id`` differs per row
+    within a partition; any salt assignment yields the same final
+    aggregate (the merge is algebraic), so task-retry nondeterminism of
+    the id is harmless here."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
     )
 
 

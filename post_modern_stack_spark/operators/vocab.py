@@ -85,20 +85,41 @@ def encode_via_join(
     :func:`encode` (zero-shuffle map lookup) whenever the vocab fits in
     the driver. Results are identical — see the parity test.
     """
-    keys = keys or [c for c in df.columns if c != arr_col]
-    exploded = df.select(
-        *keys, F.posexplode(arr_col).alias("_pos", "token")
+    # a synthetic row id (not caller keys) carries rows through the
+    # explode/re-collect: caller keys may not be unique (identical key
+    # rows would merge their token arrays), and empty/NULL arrays must
+    # survive the round trip (posexplode_outer emits a NULL-pos row for
+    # them; a plain posexplode would drop the row entirely).
+    with_id = df.withColumn("_row_id", F.monotonically_increasing_id())
+    exploded = with_id.select(
+        "_row_id", F.posexplode_outer(arr_col).alias("_pos", "token")
     )
-    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    joined = exploded.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
     encoded = joined.withColumn(
-        "_id", F.coalesce(F.col("token_id"), F.lit(UNK_ID)).cast("int")
+        "_id",
+        F.when(
+            F.col("_pos").isNotNull(),
+            F.coalesce(F.col("token_id"), F.lit(UNK_ID)),
+        ).cast("int"),
     )
     from post_modern_stack_spark.functions import ordered_collect
 
+    collected = encoded.groupBy("_row_id").agg(
+        F.filter(
+            ordered_collect(
+                F.struct(F.col("_pos").alias("p"), F.col("_id").alias("i")), "_pos"
+            ),
+            lambda s: s.getField("p").isNotNull(),
+        ).alias("_enc_structs")
+    )
     return (
-        encoded.groupBy(*keys)
-        .agg(ordered_collect("_id", "_pos").alias(out_col))
-        .join(df, keys)
+        with_id.join(collected, "_row_id")
+        .withColumn(
+            out_col, F.transform("_enc_structs", lambda s: s.getField("i"))
+        )
+        .drop("_row_id", "_enc_structs")
     )
 
 

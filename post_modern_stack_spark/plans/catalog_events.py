@@ -336,13 +336,17 @@ def q_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user_id shuffle."""
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # same (ts_ns, event_id) tie-break as w_order: a ROWS-frame running
+    # sum over a partial order is shuffle-nondeterministic on ties
+    # (SURVEY §7 watch-list 1)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns")
+        .orderBy("ts_ns", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts_ns",
         "ts_ms",
         "value",

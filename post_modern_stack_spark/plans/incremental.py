@@ -61,7 +61,16 @@ class IncrementalModel:
             raise ValueError(
                 f"incremental model {self.name}: transform must keep etl_id"
             )
-        out.write.mode("append").partitionBy("etl_id").parquet(self.out_path)
+        # dynamic partition overwrite, not append: refresh appends data
+        # BEFORE the ledger commits, so a crash between the two must
+        # leave a retry that REWRITES the load's partitions instead of
+        # duplicating them
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("etl_id")
+            .parquet(self.out_path)
+        )
         rows = self.spark.read.parquet(self.out_path).filter(
             F.col("etl_id").isin(load_ids)
         ).count()

@@ -68,22 +68,33 @@ def compact(
     """Small-files compaction: rewrite a parquet directory down to
     ``target_files`` (streaming sinks and incremental appends fragment
     layouts; scan cost at 100 TB is dominated by file count × footer
-    reads if left unchecked). Rewrites atomically via a temp dir +
-    rename. Returns the resulting file count.
+    reads if left unchecked). Returns the resulting file count.
+
+    Swap protocol: write to ``__compacting``, move the old dir to
+    ``__precompact`` (one rename), move the new one in (one rename),
+    then delete the backup — a crash leaves either the original or the
+    compacted data recoverable from a sibling dir, never a silent loss
+    (a brief path-missing window between the two renames remains; this
+    is a local-FS maintenance utility — on object stores / real tables,
+    use the table format's transactional rewrite instead).
     """
     import glob
     import os
     import shutil
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    tmp, backup = base + "__compacting", base + "__precompact"
     out = df.coalesce(target_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(base, backup)
+    os.rename(tmp, base)
+    shutil.rmtree(backup)
+    return len(glob.glob(os.path.join(base, "*.parquet")))
 
 
 def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: list[str]):

@@ -3,11 +3,13 @@ continuously (SURVEY.md §2 J1 + H3/H5; reference README.md:86 points at
 a companion real-time ingestion pipeline living out-of-repo).
 
 ``foreachBatch`` gives each micro-batch a transactional batch id; we
-stamp it as the ETL id (the streaming analog of
-upload_to_snowflake.py:152-154's per-load uuid), append to the same
-partitioned parquet layout batch ingestion writes, and the checkpoint
-makes re-delivery idempotent at the batch level (a replayed batch
-rewrites the same etl_id, preserving latest-ETL-wins reads).
+stamp it as BOTH the ETL id and the ETL timestamp (batch ids increase
+monotonically, so latest-ETL-wins reads pick the newest batch — a
+per-row event-time stamp would make max_by(etl_id, etl_timestamp)
+arbitrary). Output partitions on (api_key, etl_id) and each batch
+writes with DYNAMIC partition overwrite: foreachBatch is at-least-once,
+and a replayed batch must rewrite its own partition, not append a
+second copy.
 """
 
 from __future__ import annotations
@@ -32,7 +34,9 @@ def start_ingest_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.select(
-                F.col("ts_ms").alias("etl_timestamp"),
+                # constant per load, monotonically increasing across
+                # loads — the latest-ETL-wins contract
+                F.lit(batch_id).cast("long").alias("etl_timestamp"),
                 F.lit(f"stream-batch-{batch_id}").alias("etl_id"),
                 "event_type",
                 F.lit(api_key).alias("api_key"),
@@ -48,8 +52,9 @@ def start_ingest_stream(
                     )
                 ).alias("raw_data"),
             )
-            .write.mode("append")
-            .partitionBy("api_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("api_key", "etl_id")
             .parquet(out_path)
         )
 

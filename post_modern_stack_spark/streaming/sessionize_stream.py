@@ -175,12 +175,16 @@ def stateful_session_arrays(events: DataFrame) -> DataFrame:
     session with the time-ordered interaction array — streaming parity
     with the batch flagship (catalog ``sessionize``).
     """
+    # drop NULL-k events BEFORE accumulation: the pandas path would
+    # stringify None into a literal "None" token, silently diverging
+    # from batch semantics (where NULL array elements are dropped at
+    # the concat_ws edge)
     prepped = events.select(
         "user_id",
         "ts_ns",
         "event_id",
         F.get_json_object("props", "$.k").alias("k"),
-    )
+    ).filter(F.col("k").isNotNull())
     return prepped.groupBy("user_id").applyInPandasWithState(
         _accumulate_sessions,
         outputStructType=SESSION_OUT_SCHEMA,
@@ -271,12 +275,16 @@ def stateful_session_arrays_v2(
             "not installed in this environment; use "
             "stateful_session_arrays (applyInPandasWithState) instead"
         ) from e
-    prepped = events.withWatermark("ts", watermark).select(
-        "user_id",
-        "ts",
-        "ts_ns",
-        "event_id",
-        F.get_json_object("props", "$.k").alias("k"),
+    prepped = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "ts_ns",
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())  # same NULL-k contract as v1
     )
     return prepped.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_SessionArrayProcessor(gap_ms),

@@ -115,3 +115,42 @@ def test_incremental_model_processes_each_load_once(spark, tmp_path):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, full.select(*cols).collect())
     )
+
+def test_incremental_replay_is_idempotent(spark, tmp_path):
+    """Crash-window simulation: data written but ledger lost → the
+    retry must REWRITE the load's partition, not duplicate it."""
+    import shutil
+
+    from post_modern_stack_spark.functions import json_get
+    from post_modern_stack_spark.sources import ingest
+
+    events = [
+        Row(
+            event_type="event_product",
+            hashed_url="u",
+            product_action="detail",
+            product_sku=f"sku-{i}",
+            server_timestamp_epoch_ms=str(1_547_528_000_000 + i),
+            session_id="s",
+        )
+        for i in range(5)
+    ]
+    raw_path = str(tmp_path / "raw")
+    ingest.ingest_events(
+        spark.createDataFrame([Row(events=events)]), raw_path, "t1",
+        etl_id="L1", etl_timestamp_ms=1000,
+    )
+
+    def flatten(raw_slice):
+        return raw_slice.select(
+            "etl_id", json_get("raw_data", "product_sku", "string").alias("sku")
+        )
+
+    model = IncrementalModel(spark, "m", flatten, str(tmp_path / "models"))
+    r1 = model.refresh(ingest.read_raw_events(spark, raw_path))
+    assert r1["rows_appended"] == 5
+    # simulate: output committed, ledger write lost
+    shutil.rmtree(model.ledger_path)
+    r2 = model.refresh(ingest.read_raw_events(spark, raw_path))
+    assert r2["new_loads"] == ["L1"]
+    assert model.read().count() == 5  # rewritten, not doubled

@@ -176,3 +176,46 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.35, f"IVF recall collapsed: {recall}"
+
+
+def test_encode_via_join_empty_arrays_and_duplicate_keys(spark):
+    """Review regressions: empty arrays must survive the explode round
+    trip, and rows identical on caller columns must NOT merge."""
+    from pyspark.sql import Row
+
+    sessions = spark.createDataFrame(
+        [
+            Row(sid=1, interactions=["a", "b"]),
+            Row(sid=1, interactions=["b"]),  # duplicate key, different array
+            Row(sid=2, interactions=[]),     # empty array
+        ]
+    )
+    vb = vocab.build_vocab(sessions, "interactions")
+    out = vocab.encode_via_join(sessions, vb, "interactions").collect()
+    assert len(out) == 3
+    got = sorted((r["sid"], tuple(r["interactions"]), tuple(r["encoded"])) for r in out)
+    by_map = {
+        tuple(r["interactions"]): r["encoded"]
+        for r in vocab.encode(sessions, vb, "interactions").collect()
+    }
+    for sid, inter, enc in got:
+        assert list(enc) == by_map[tuple(inter)], (sid, inter)
+    assert got[2] == (2, (), ())
+
+
+def test_cluster_pairs_raises_on_nonconvergence(spark):
+    from pyspark.sql import Row
+
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(40)]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.cluster_pairs(chain, max_iterations=2)
+
+
+def test_minhash_bands_divisibility_guard(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates(df, num_hashes=64, bands=12)
