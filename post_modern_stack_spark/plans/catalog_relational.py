@@ -514,6 +514,37 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "status_priority_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')    AS status,
+           coalesce(o_orderpriority, 'ALL')  AS priority,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to revenue_rollup: all four grouping-set grains
+    (status×priority, status, priority, grand total) from one Expand
+    pass — the full cross-dimensional rollup without four scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
     "orders_vs_lineitem_custkeys",
     oracle="""
     SELECT 'both' AS bucket, count(*) AS n FROM (
