@@ -159,12 +159,17 @@ def q_sessions_with_target_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 sketch posture for 100 TB: HLL distinct + approximate
     percentiles in one aggregation pass (exact counterparts would
-    shuffle full key sets)."""
+    shuffle full key sets).
+
+    Output is flat scalar columns only (p50/p95/p99 doubles, not an
+    array) so the driver's record/serialize step handles the row.
+    """
     ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-            "value_percentiles"
-        ),
+        F.round(pct.getItem(0), 6).alias("value_p50"),
+        F.round(pct.getItem(1), 6).alias("value_p95"),
+        F.round(pct.getItem(2), 6).alias("value_p99"),
     )
