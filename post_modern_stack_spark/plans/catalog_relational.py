@@ -601,3 +601,114 @@ def q_supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("n_name", "s_name", "acctbal", "rank")
     )
+
+
+@query(
+    "nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name                                         AS supp_nation,
+           n2.n_name                                         AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT)                AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders   o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation  n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation  n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: fact ⋈ two independent dimension chains with a
+    cross-pair predicate, grouped by (nation, nation, year).
+
+    Scale shape: both nation joins broadcast; the nation-pair disjunction
+    is applied AFTER the broadcasts so it never blocks pushdown of the
+    shipdate range (which reaches the lineitem scan). orders⋈lineitem is
+    the only shuffle pair — at 100 TB that is the co-partition/bucketing
+    candidate (sources/layout.write_bucketed).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    lo = (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return lo.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2)                          AS totalprice,
+           round(sum(l.l_quantity), 2)                       AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, orderdate, totalprice
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery over the fact table,
+    re-joined to dimensions.
+
+    Spark-first: the subquery is the same lineitem aggregate — compute
+    it once, filter (> 300 collapses it to a tiny key set), and
+    broadcast it as a semi-join filter into the fact join, so the big
+    side is scanned once and never shuffled against itself.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big_orders), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

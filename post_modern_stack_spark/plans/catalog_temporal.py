@@ -1,0 +1,170 @@
+"""Temporal-join queries: as-of and range (interval) joins on the
+driver's ``events`` table.
+
+The reference engine family exposes temporal joins as first-class
+operators; Spark has no built-in, so these are the catalog entries for
+``operators.asof`` (union-window idiom) and ``operators.rangejoin``
+(bucketed interval join). Both have exact DuckDB twins (``ASOF JOIN``
+/ inequality join), making them fully oracle-checkable.
+
+Millisecond epoch is the join axis on BOTH sides (``ts_ms`` ↔
+``epoch_ms(ts)``) so Spark and DuckDB compare identical integers; the
+right side is deduplicated per (user, ms) with a max-event_id
+tie-break so as-of tie semantics are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.operators.asof import asof_join
+from post_modern_stack_spark.operators.rangejoin import interval_join_buckets
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+_HOUR_MS = 3_600_000
+
+
+def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View events keyed for the as-of right side.
+
+    No dedup pass: equal-(user, ms) ties are resolved inside the as-of
+    window itself (``right_tie`` last-wins = max view_id), matching the
+    oracle's QUALIFY dedup without an extra exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_ms").alias("t_ms"),
+        F.col("ts_ms").alias("view_ms"),
+        F.col("event_id").alias("view_id"),
+        F.round("value", 2).alias("view_value"),
+    )
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("t_ms"),
+    )
+
+
+@query(
+    "purchase_last_view",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             epoch_ms(ts)    AS t_ms,
+             event_id        AS view_id,
+             round(value, 2) AS view_value
+      FROM events
+      WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+                                 ORDER BY event_id DESC) = 1
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS t_ms
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           p.purchase_id,
+           p.t_ms            AS purchase_ms,
+           v.view_id,
+           v.t_ms            AS view_ms,
+           p.t_ms - v.t_ms   AS gap_ms,
+           v.view_value
+    FROM p ASOF JOIN v
+      ON p.user_id = v.user_id AND p.t_ms >= v.t_ms
+    """,
+)
+def q_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view
+    at-or-before it (inner — purchases with no prior view drop, keeping
+    every output column non-null for stable cross-engine hashing).
+
+    Union-window strategy (operators/asof.py): one shuffle on user_id,
+    JVM-only, vs DuckDB's native ``ASOF JOIN``.
+    """
+    purchases = _purchases(spark, sf_dir)
+    matched = asof_join(
+        purchases,
+        _views(spark, sf_dir),
+        on="t_ms",
+        by=["user_id"],
+        right_cols=["view_id", "view_ms", "view_value"],
+        right_tie="view_id",
+    )
+    return matched.filter(F.col("view_id").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        F.col("t_ms").alias("purchase_ms"),
+        "view_id",
+        "view_ms",
+        (F.col("t_ms") - F.col("view_ms")).alias("gap_ms"),
+        "view_value",
+    )
+
+
+@query(
+    "views_before_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, epoch_ms(ts) AS v_ms, value
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           p.purchase_id,
+           p.p_ms                 AS purchase_ms,
+           count(*)               AS n_views_1h,
+           round(sum(v.value), 2) AS sum_view_value
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.v_ms >= p.p_ms - 3600000
+     AND v.v_ms <  p.p_ms
+    GROUP BY p.user_id, p.purchase_id, p.p_ms
+    """,
+)
+def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: views in the hour before each purchase, aggregated
+    per purchase (inner — purchases with zero prior-hour views drop).
+
+    Bucketed interval join (operators/rangejoin.py): time quantized to
+    1 h buckets → equi-join on (user_id, bucket) → exact range refine.
+    Never a nested-loop theta join; the oracle states the same
+    inequality join declaratively.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_ms").alias("v_ms"),
+        F.col("value").alias("view_value"),
+    )
+    pairs = interval_join_buckets(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="p_ms",
+        right_time="v_ms",
+        lookback=_HOUR_MS,
+    )
+    return pairs.groupBy("user_id", "purchase_id", "p_ms").agg(
+        F.count(F.lit(1)).alias("n_views_1h"),
+        F.round(F.sum("view_value"), 2).alias("sum_view_value"),
+    ).select(
+        "user_id",
+        "purchase_id",
+        F.col("p_ms").alias("purchase_ms"),
+        "n_views_1h",
+        "sum_view_value",
+    )

@@ -82,5 +82,6 @@ from post_modern_stack_spark.plans import (  # noqa: E402,F401
     catalog_json,
     catalog_relational,
     catalog_similarity,
+    catalog_temporal,
     catalog_text,
 )
