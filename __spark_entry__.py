@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the rows-only (hash/seed/model-dependent) ones.
     """
     qs = entryflow.QUERIES
-    oracled = [n for n in qs if n in entryflow.ORACLES]
-    rows_only = [n for n in qs if n not in entryflow.ORACLES]
-    return {n: qs[n] for n in (*oracled, *rows_only)}
+    defer = set(entryflow.DEFER_FROM_WINDOW)
+    oracled = [n for n in qs if n in entryflow.ORACLES and n not in defer]
+    deferred = [n for n in qs if n in defer]
+    rows_only = [n for n in qs if n not in entryflow.ORACLES and n not in defer]
+    return {n: qs[n] for n in (*oracled, *deferred, *rows_only)}
 
 
 def oracle_sql() -> dict[str, str]:

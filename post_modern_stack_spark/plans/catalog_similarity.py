@@ -183,3 +183,35 @@ def q_lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return similarity.rp_lsh_top_k(emb, queries, k=_K)
+
+
+@query(
+    "embedding_near_dups",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a,
+             b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                           i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                   6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= 0.4
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 vector-modality dedup: all embedding pairs with cosine ≥ τ,
+    exact broadcast self-join baseline (the LSH-candidate variant in
+    operators/dedup.embedding_near_dups is the 100 TB path; its recall
+    vs this exact set is pytest-gated)."""
+    from post_modern_stack_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.4, candidates="exact")

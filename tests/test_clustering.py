@@ -45,3 +45,39 @@ def test_clusters_match_union_find_on_random_graph(spark):
     df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
     got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(df).collect()}
     assert got == _union_find(pairs)
+
+
+def test_embedding_near_dups_exact_and_lsh_recall(spark):
+    """Exact mode finds all/only pairs ≥ τ; LSH mode is a subset with
+    high recall at a permissive dial (few bits, many tables)."""
+    import math
+    import random
+
+    from post_modern_stack_spark.operators.dedup import embedding_near_dups
+
+    rnd = random.Random(3)
+    dim = 16
+    base = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        # a jittered near-duplicate of every base vector
+        rows.append((2 * i + 1, [float(x + rnd.gauss(0, 0.05)) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = embedding_near_dups(emb, threshold=0.95, candidates="exact")
+    got = {(r.id_a, r.id_b) for r in exact.collect()}
+    # every planted twin pair is found
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= got
+    # and nothing below the threshold sneaks in
+    for r in exact.collect():
+        assert r.cos_sim >= 0.95
+
+    lsh = embedding_near_dups(
+        emb, threshold=0.95, candidates="lsh", dim=dim, bits=4, n_tables=8
+    )
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert lsh_pairs <= got  # refine step guarantees precision
+    recall = len(lsh_pairs & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
