@@ -712,3 +712,336 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey,
+             l_suppkey,
+             round(l_extendedprice / l_quantity, 6) AS unit_cost
+      FROM lineitem
+    ),
+    min_costs AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, c.unit_cost AS min_cost
+    FROM costs c
+    JOIN min_costs m ON c.l_partkey = m.l_partkey AND c.unit_cost = m.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (the supplier achieving
+    each part's minimum unit cost), decorrelated into an aggregate +
+    equi-join (reference has no hand-written decorrelation — dbt/
+    Snowflake planners do this; SURVEY.md §2 A-family).
+
+    Spark-first: the correlated `= (SELECT min(..) WHERE pk = outer.pk)`
+    becomes groupBy(partkey).min() re-joined on (partkey, cost): one
+    shuffle on l_partkey feeds BOTH the aggregate and the probe side
+    (same key → AQE reuses the exchange), and the part/supplier dims
+    broadcast. Unit cost rounds to 6dp on both sides so the float
+    equality join matches the oracle bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    costs = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"),
+    )
+    min_costs = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        costs.join(
+            min_costs,
+            (costs.l_partkey == min_costs.l_partkey)
+            & (costs.unit_cost == min_costs.min_cost),
+        )
+        .drop(min_costs.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("unit_cost").alias("min_cost"),
+        )
+    )
+
+
+@query(
+    "part_value_share",
+    oracle="""
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0005 FROM lineitem)
+    """,
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar subquery (share-
+    of-total threshold).
+
+    Spark-first: the scalar total is its own tiny aggregate, attached
+    via a broadcast nested-loop cross join of ONE row — the fact table
+    aggregates once per grouping, never twice, and AQE reuses the
+    scan. At 100 TB the per-part aggregate is the only shuffle; the
+    threshold compare is map-side against the broadcast scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("__v"))
+    total = li.agg((F.sum(value) * F.lit(0.0005)).alias("__threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__v") > F.col("__threshold"))
+        .select("l_partkey", F.round("__v", 2).alias("part_value"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar MAX over an aggregated view, selecting
+    the row(s) that achieve it.
+
+    Spark-first: the revenue "view" is one shuffled aggregate; the MAX
+    is a single-row broadcast joined back as an equality filter —
+    Spark computes `revenue` once per branch but the quarter filter is
+    pushed into both scans, so the duplicate work is one pruned scan +
+    partial agg, not a self-join of shuffles. Revenue rounds to 2dp
+    before MAX so ties and the float equality match the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand,
+           p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (excluded-supplier list) +
+    COUNT(DISTINCT) grouped by dimension attributes.
+
+    Spark-first: NOT IN over a non-nullable key column is a broadcast
+    left_anti join (no null-semantics trap: s_suppkey is a PK).
+    COUNT(DISTINCT suppkey) expands to a two-phase partial-distinct
+    aggregate — Spark dedups (brand, size, suppkey) map-side before
+    the shuffle, so distinct-counting survives 100 TB fact tables.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "heavy_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+)
+def q_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain (part-name filter → fact
+    aggregate with HAVING → supplier semi-join).
+
+    Spark-first: each IN level is a semi-join — the part-name filter
+    broadcasts into the fact scan as a left_semi (pruning before the
+    aggregate shuffle), and the HAVING-qualified supplier keys
+    broadcast into the supplier dim. The fact table is touched once.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "sole_latest_shipper",
+    oracle="""
+    WITH supp_ship AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+      FROM lineitem
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT t.l_suppkey AS s_suppkey, count(*) AS numwait
+    FROM supp_ship t
+    WHERE EXISTS (
+            SELECT 1 FROM supp_ship o
+            WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM supp_ship o
+            WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey
+              AND o.last_ship >= t.last_ship
+          )
+    GROUP BY t.l_suppkey
+    """,
+)
+def q_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over a self-
+    joined fact derivative (the supplier who strictly last-shipped each
+    multi-supplier order).
+
+    Spark-first: both correlated quantifiers collapse into ONE window
+    pass over (orderkey): count of suppliers and the max/2nd-max ship
+    date per order decide EXISTS/NOT EXISTS without any self-join —
+    the supp_ship aggregate shuffles on l_orderkey once and the window
+    reuses that exact partitioning (zero extra exchanges). The
+    semantics match the quantifier pair: keep rows whose order has >1
+    supplier AND whose last_ship is strictly greater than every other
+    supplier's.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_ship = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = supp_ship.select(
+        "l_orderkey",
+        "l_suppkey",
+        "last_ship",
+        F.count(F.lit(1)).over(w).alias("__n_supp"),
+        F.max("last_ship").over(w).alias("__max_ship"),
+        F.sum(
+            (F.col("last_ship") == F.max("last_ship").over(w)).cast("int")
+        ).over(w).alias("__n_at_max"),
+    )
+    return (
+        flagged.filter(
+            (F.col("__n_supp") > 1)
+            & (F.col("last_ship") == F.col("__max_ship"))
+            & (F.col("__n_at_max") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "rich_idle_customers",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*)                 AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS
+    anti-join (high-balance customers who never ordered).
+
+    Spark-first: the average is a one-row broadcast; NOT EXISTS is a
+    left_anti against the orders key set. Anti-joining on o_custkey
+    after projecting just that column keeps the build side minimal;
+    at 100 TB the anti-join shuffles only (custkey) pairs, and the
+    customer-side filter runs map-side against the broadcast scalar.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

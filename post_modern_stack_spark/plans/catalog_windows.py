@@ -1,0 +1,180 @@
+"""Window-function family queries over ``events`` (SURVEY.md §2 A9
+widened): sliding ROWS frames, time-based RANGE frames, lead/lag,
+ntile, percent_rank/cume_dist.
+
+The reference's pandas-side idioms (rolling means, shift-based gaps,
+quantile bucketing of users — e.g. the session-stats notebook math) are
+all window specializations; on Spark they run as single window passes
+that reuse one hash-partitioning per key, so each query below is
+one shuffle regardless of data size.
+
+Determinism: every ORDER BY carries a total tie-break (ts_ns/event_id
+engine-side, ts/event_id oracle-side) so frames are identical even with
+equal timestamps; window outputs are rounded before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+
+@query(
+    "moving_avg_value",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS mov_avg
+    FROM events
+    """,
+)
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS-frame aggregate: per-user 3-event moving average
+    (the pandas ``groupby().rolling(3).mean()`` idiom distributed).
+
+    One shuffle on user_id; the frame is evaluated streaming within
+    each sorted partition — no per-row re-scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+    )
+
+
+@query(
+    "hourly_range_sum",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts)
+                                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+                 4) AS hour_sum
+    FROM events
+    """,
+)
+def q_hourly_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, the rolling sum of ``value``
+    over the trailing hour (event-time, not row-count) — the
+    hypertable/time-series rolling-window primitive.
+
+    RANGE frames need a numeric ordering key: epoch-ms (``ts_ms``)
+    makes the 1-hour bound an integer offset on both engines. Peers
+    (equal timestamps) are included symmetrically by RANGE semantics,
+    so no tie-break is needed for correctness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("hour_sum")
+    )
+
+
+@query(
+    "event_neighbors",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w, -1) AS prev_gap_ms,
+           coalesce(lead(event_type) OVER w, 'none')             AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag neighbors: per-event gap to the previous event and the
+    next event's type (the pandas ``shift()`` idiom; sentinel-coalesced
+    so edges compare deterministically).
+
+    Both offsets share ONE window spec → a single sort within the
+    user_id partitioning, two frame readers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.col("ts_ms") - F.lag("ts_ms").over(w), F.lit(-1).cast("long")
+        ).alias("prev_gap_ms"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+    )
+
+
+@query(
+    "user_value_quartiles",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           total_value,
+           ntile(4) OVER (ORDER BY total_value DESC, user_id) AS quartile
+    FROM totals
+    """,
+)
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: users split into spend quartiles (the
+    reference-era "user tiers" analysis; pandas ``qcut`` analog).
+
+    The global ntile window is the one legitimately unpartitioned
+    window here — it runs over the user-grain AGGREGATE (|users| rows,
+    not |events|), which is the scale-safe place to put a global sort.
+    Totals round to 2dp before ranking so engine and oracle order
+    identically; user_id breaks remaining ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return totals.select(
+        "user_id", "total_value", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "user_value_dist",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           total_value,
+           round(percent_rank() OVER (ORDER BY total_value, user_id), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY total_value, user_id), 6) AS cume
+    FROM totals
+    """,
+)
+def q_user_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: percent_rank + cume_dist of each user's
+    total spend (the ECDF / percentile-of-user idiom).
+
+    Like ntile, the global window runs post-aggregate at user grain.
+    The user_id tie-break makes every rank value unique → identical
+    across engines even for tied totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.orderBy("total_value", "user_id")
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -91,4 +91,5 @@ from post_modern_stack_spark.plans import (  # noqa: E402,F401
     catalog_similarity,
     catalog_temporal,
     catalog_text,
+    catalog_windows,
 )
