@@ -524,3 +524,63 @@ def q_hit_rate_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("interactions"), -1).cast("long").alias("y")
     ).crossJoin(F.broadcast(top10))
     return M.hit_rate_at_k(labeled, "y", "preds")
+
+
+@query(
+    "time_bucket_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT epoch_ms(ts) - epoch_ms(ts) % 900000 AS bucket_ms,
+             event_type,
+             count(*)              AS n_events,
+             round(sum(value), 2)  AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT bucket_ms - bucket_ms % 86400000 AS day_ms,
+           event_type,
+           CAST(sum(n_events) AS BIGINT)    AS n_events,
+           round(sum(sum_value), 2)         AS sum_value,
+           count(*)                         AS n_buckets
+    FROM fine
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time-bucket rollup: events →
+    15-minute buckets → daily re-aggregation (the continuous-aggregate
+    / materialized-rollup pattern of time-series stores).
+
+    Spark-first: bucketing is integer math on epoch-ms (no UDF, no
+    timezone trap), and the day grain re-aggregates the FINE rollup,
+    not the raw events — at 100 TB the coarse grain reads ~96×fewer
+    rows than a second scan would, and both aggregations share one
+    shuffle tree since day_ms is a function of bucket_ms (Catalyst
+    keeps the second agg on the same hash partitioning when keys are
+    prefixes; here the day agg runs over already-tiny data either way).
+
+    The fine sum rounds to 2dp BEFORE the day sum (both engines), so
+    the re-aggregation drift of double addition cannot diverge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fine = (
+        ev.groupBy(
+            (F.col("ts_ms") - F.col("ts_ms") % 900_000).alias("bucket_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return (
+        fine.groupBy(
+            (F.col("bucket_ms") - F.col("bucket_ms") % 86_400_000).alias("day_ms"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )

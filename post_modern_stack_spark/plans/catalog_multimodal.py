@@ -1,0 +1,87 @@
+"""Multimodal-column queries (SURVEY.md §2 K5) with DuckDB oracles.
+
+The driver's tables carry no real media, so the catalog queries
+construct the binary modality the way an ingest job would: document
+text → ``binary`` content column (UTF-8 encode — deterministic, both
+engines agree byte-for-byte), typed metadata alongside. Everything
+downstream of that construction is the REAL multimodal surface: binary
+digests (JVM-side sha2 — no decode), byte-length stats, kind-grained
+rollups, exact binary dedup (operators/multimodal.media_dedup). The
+codec boundary itself (decode/resize/frame-sample) stays in
+operators/multimodal with stubbed codecs per driver instruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from post_modern_stack_spark.operators import multimodal
+from post_modern_stack_spark.plans.entryflow import query
+from post_modern_stack_spark.registry import load_table
+
+
+def _as_media(docs: DataFrame) -> DataFrame:
+    """documents → media-shaped frame: binary content + typed metadata
+    (source plays the role of media kind)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@query(
+    "media_inventory",
+    oracle="""
+    SELECT source                                   AS kind,
+           count(*)                                 AS n_media,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           count(DISTINCT sha256(text))     AS distinct_contents
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 inventory rollup: per-kind media counts, byte volumes, and
+    distinct-content cardinality — the storage-planning query every
+    multimodal corpus needs before 100 TB layout decisions.
+
+    All binary ops (octet_length, sha2) are JVM built-ins on the
+    binary column — the bytes never cross into Python. The digest
+    dedup count is a two-phase distinct aggregate (map-side partial
+    dedup), so it survives fact-scale media tables.
+    """
+    media = _as_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("content")).alias("total_bytes"),
+        F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
+        F.count_distinct(F.sha2("content", 256)).alias("distinct_contents"),
+    )
+
+
+@query(
+    "media_dedup_groups",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           min(doc_id)          AS media_id,
+           count(*)             AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING count(*) > 1
+    """,
+)
+def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-on-binary (K5 dedup): duplicate media groups by content
+    digest — keeper id + copy count for every digest seen twice.
+
+    Exercises operators/multimodal.media_dedup unchanged: sha2 over
+    the binary column groups JVM-side; only digests shuffle (32 bytes
+    per row regardless of media size), which is what makes exact
+    binary dedup viable at 100 TB.
+    """
+    media = _as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.media_dedup(media).filter(F.col("n_copies") > 1)

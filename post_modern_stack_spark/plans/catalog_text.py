@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from post_modern_stack_spark.operators import dedup, textstats
+from post_modern_stack_spark.operators.shaping import top_k_per_group
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -204,3 +205,57 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 order-sensitive rolling document fingerprint."""
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT tf.doc_id,
+             tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+                        tf.term
+             ) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 TF-IDF: top-5 characteristic terms per document
+    (tf × ln(N/df), the classic corpus-relevance weighting — SURVEY.md
+    §2 K4's HashingTF+IDF capability expressed as pure dataflow, so it
+    stays oracle-checkable instead of hash-bucketed).
+
+    Spark-first: one explode+two aggregates; the doc-frequency side is
+    vocabulary-grain (≪ corpus) so its join back to term-frequency
+    rows broadcasts under AQE at test scale and degrades to a shuffle
+    hash join on `term` at 100 TB — exactly the right physical choice
+    either way. The corpus size N is a one-row broadcast. Ranks break
+    ties on term so engine and oracle pick identical top-5 sets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], 5
+    ).select("doc_id", "term", "tfidf", "rank")

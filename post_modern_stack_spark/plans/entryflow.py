@@ -87,6 +87,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 from post_modern_stack_spark.plans import (  # noqa: E402,F401
     catalog_events,
     catalog_json,
+    catalog_multimodal,
     catalog_relational,
     catalog_similarity,
     catalog_temporal,

@@ -154,3 +154,34 @@ def test_stateful_session_arrays_parity(spark, events_dir, tmp_path):
     }
     assert len(got) == len(batch)
     assert got == batch
+
+
+def test_stream_dedup_drops_within_watermark_dupes(spark, events_dir, tmp_path):
+    """J×K1: a feed where every file arrives twice (the classic
+    at-least-once delivery failure) dedups back to the batch-exact row
+    set; batch mode of the same operator equals dropDuplicates."""
+    from post_modern_stack_spark.streaming.dedup_stream import dedup_events
+
+    dup_dir = str(tmp_path / "dup_feed")
+    import glob
+    import os
+
+    os.makedirs(dup_dir)
+    for i, f in enumerate(sorted(glob.glob(events_dir + "/*.parquet"))):
+        shutil.copy(f, f"{dup_dir}/a{i}.parquet")
+        shutil.copy(f, f"{dup_dir}/b{i}.parquet")
+
+    stream = S.stream_events(spark, dup_dir)
+    got = _run_to_memory(
+        spark,
+        dedup_events(stream).select("event_id", "user_id", "value"),
+        "dedup_stream_out",
+    )
+    batch = dedup_events(load_table(spark, SF, "events")).select(
+        "event_id", "user_id", "value"
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows == want_rows
+    # and the duplicated feed really had 2x rows before dedup
+    assert spark.read.parquet(dup_dir).count() == 2 * len(want_rows)
