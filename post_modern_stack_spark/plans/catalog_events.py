@@ -406,9 +406,12 @@ def q_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation. One hash-agg pass."""
     ev = load_table(spark, sf_dir, "events")
     k = json_get("props", "k", "long")
+    # both percentiles from ONE array-argument call: the sort buffer per
+    # group is built once, not once per quantile
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+        F.round(F.element_at(pcts, 1), 4).alias("median_value"),
+        F.round(F.element_at(pcts, 2), 4).alias("p95_value"),
         F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
         F.round(F.corr("value", k), 4).alias("corr_value_k"),
     )
