@@ -972,14 +972,18 @@ def q_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined fact derivative (the supplier who strictly last-shipped each
     multi-supplier order).
 
-    Spark-first: both correlated quantifiers collapse into ONE window
-    pass over (orderkey): count of suppliers and the max/2nd-max ship
-    date per order decide EXISTS/NOT EXISTS without any self-join —
-    the supp_ship aggregate shuffles on l_orderkey once and the window
-    reuses that exact partitioning (zero extra exchanges). The
-    semantics match the quantifier pair: keep rows whose order has >1
-    supplier AND whose last_ship is strictly greater than every other
-    supplier's.
+    Spark-first: both correlated quantifiers collapse into window
+    functions over (orderkey) — supplier count and max-ship-date per
+    order decide EXISTS/NOT EXISTS without any self-join. Physical
+    cost: two data-bearing exchanges — the (orderkey, suppkey)
+    aggregate (map-side combined, ~lines-per-supplier-order reduction)
+    and the orderkey re-distribution for the window (agg-grain rows,
+    already reduced) — plus a tiny supplier-grain final agg. A
+    self-join formulation would instead shuffle the fact derivative
+    twice AND join it; the window form halves the probe-side traffic.
+    The semantics match the quantifier pair: keep rows whose order has
+    >1 supplier AND whose last_ship is strictly greater than every
+    other supplier's.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp_ship = li.groupBy("l_orderkey", "l_suppkey").agg(
@@ -1043,5 +1047,46 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "status_priority_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the asymmetric grain list neither
+    ROLLUP nor CUBE expresses: detail + status-only + grand total,
+    but NOT priority-only).
+
+    Same single-Expand execution as rollup/cube — one scan fans each
+    row into its 3 grains, then one hash aggregate; at 100 TB the cost
+    is grains × shuffle rows, so pruning unneeded grains (vs CUBE's
+    2^n) is exactly what GROUPING SETS is for.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
         )
     )

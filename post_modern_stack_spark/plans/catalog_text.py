@@ -259,3 +259,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], 5
     ).select("doc_id", "term", "tfidf", "rank")
+
+
+@query(
+    "regex_extracts",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1)                     AS first_number,
+           len(regexp_extract_all(text, 'e'))                      AS n_e,
+           length(trim(regexp_replace(text, '\s+', ' ', 'g')))     AS squeezed_len
+    FROM documents
+    """,
+)
+def q_regex_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family regex scalar functions: first-match extraction, match
+    counting, and whitespace-squeeze via regexp_replace — the text-
+    cleaning trio every corpus-prep pipeline applies before tokenizing.
+
+    Pure projection (no shuffle, whole-stage codegen); regexes compile
+    once per task, not per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_count("text", F.lit("e")).alias("n_e"),
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("squeezed_len"),
+    )

@@ -69,3 +69,81 @@ def test_top_k_cosine_broadcasts_queries(spark):
     p = plan_of(spark, "top_k_cosine")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "WindowGroupLimit" in p  # k pruned before full sort
+
+
+def test_tpch_subquery_shapes_broadcast_not_cartesian(spark):
+    """Q2/Q16/Q20/Q22 shapes: dims and key-sets broadcast; no
+    CartesianProduct anywhere (the one-row scalar joins must plan as
+    BroadcastNestedLoopJoin, not a shuffled cartesian)."""
+    for name in [
+        "min_cost_supplier",
+        "brand_supplier_counts",
+        "heavy_part_suppliers",
+        "rich_idle_customers",
+    ]:
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
+            f"{name}: nothing broadcast"
+        )
+
+
+def test_scalar_subquery_joins_are_single_row_broadcasts(spark):
+    """Q11/Q15/Q22: the scalar-aggregate side joins as a broadcast
+    (one row), never a SortMergeJoin."""
+    for name in ["part_value_share", "top_revenue_supplier", "rich_idle_customers"]:
+        p = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, name
+
+
+def test_sole_latest_shipper_windows_share_one_exchange(spark):
+    """Q21 shape: the two window passes run on ONE orderkey exchange
+    (nested window funcs must not re-shuffle)."""
+    p = plan_of(spark, "sole_latest_shipper")
+    lines = p.splitlines()
+    n_window = sum(1 for ln in lines if ln.strip().startswith("(") and "Window" in ln and "WindowGroupLimit" not in ln)
+    n_exchange = sum(1 for ln in lines if ln.strip().startswith("(") and "Exchange" in ln)
+    assert n_window == 2
+    assert n_exchange <= 3  # agg grain + window re-distribution + final tiny agg
+
+
+def test_window_family_single_shuffle(spark):
+    """Per-user window queries: one user_id exchange, no extra sort
+    shuffles; the two global-window queries run at user grain."""
+    for name in ["moving_avg_value", "hourly_range_sum", "event_neighbors"]:
+        p = plan_of(spark, name)
+        n_exchange = sum(
+            1
+            for ln in p.splitlines()
+            if ln.strip().startswith("(") and "Exchange" in ln
+        )
+        assert n_exchange == 1, f"{name}: expected exactly 1 exchange"
+
+
+def test_grouping_sets_single_expand(spark):
+    """ROLLUP/CUBE/GROUPING SETS all plan as one Expand + one agg
+    exchange — never one scan per grain."""
+    for name in ["revenue_rollup", "status_priority_cube", "status_priority_sets"]:
+        p = plan_of(spark, name)
+        assert p.count("Expand") >= 1, name
+    # the single-table grain queries must read their table ONCE
+    # (explain prints each node twice: tree line + detail block)
+    for name in ["status_priority_cube", "status_priority_sets"]:
+        p = plan_of(spark, name)
+        scans = sum(
+            1 for ln in p.splitlines() if ln.strip().startswith("(") and "Scan parquet" in ln
+        )
+        assert scans == 1, f"{name}: {scans} scans (grains must share one)"
+
+
+def test_regex_extracts_shuffle_free(spark):
+    p = plan_of(spark, "regex_extracts")
+    assert "Exchange" not in p
+
+
+def test_media_queries_bytes_stay_jvm_side(spark):
+    """K5 catalog queries: no Python/Arrow eval in the plan — binary
+    digests and lengths are JVM built-ins."""
+    for name in ["media_inventory", "media_dedup_groups"]:
+        p = plan_of(spark, name)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
