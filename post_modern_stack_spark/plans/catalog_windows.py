@@ -178,3 +178,106 @@ def q_user_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "locf_last_purchase",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           coalesce(
+             round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                              IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   4),
+             -1.0) AS last_purchase_value
+    FROM events
+    """,
+)
+def q_locf_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward): every event stamped
+    with the user's most recent purchase value — the time-series
+    fill-forward / gap-fill primitive (and the window-function twin of
+    the as-of join in catalog_temporal).
+
+    ``last(..., ignorenulls=True)`` over a running frame is the
+    Spark-native LOCF: one shuffle on user_id, streaming frame
+    evaluation, no self-join. Sentinel −1 marks "no purchase yet" so
+    edges compare deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.round(F.last(purchase_val, ignorenulls=True).over(w), 4),
+            F.lit(-1.0),
+        ).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "daily_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS d0,
+             max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d')       AS day,
+           coalesce(d.day_value, 0.0)        AS day_value,
+           CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def q_daily_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spine with zero-fill: every user × every calendar
+    day between their first and last event, missing days filled with
+    0 — the gap-filling primitive behind continuous time-series charts
+    and training-data densification.
+
+    Spark-first: the spine is ``explode(sequence(min_day, max_day))``
+    over the per-user bounds aggregate — generated at USER grain (tiny)
+    then left-joined to the daily rollup; the raw fact table is scanned
+    twice but aggregated both times before any join, and the spine join
+    keys on (user_id, day) so AQE picks broadcast vs shuffle by the
+    spine's actual size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value")
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.when(F.col("day_value").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("gap_filled"),
+        )
+    )

@@ -101,11 +101,76 @@ def probe_queries(spark, path: str):
             .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
         )
 
+    def asof_purchase_view():
+        from post_modern_stack_spark.operators.asof import asof_join
+
+        ev = load()
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_ms", "value"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts_ms"
+        )
+        return asof_join(
+            purchases,
+            views,
+            on="ts_ms",
+            by=["user_id"],
+            right_cols=["view_id"],
+            right_tie="view_id",
+        )
+
+    def range_views_before_purchase():
+        from post_modern_stack_spark.operators.rangejoin import interval_join_buckets
+
+        ev = load()
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_ms"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts_ms").alias("view_ms")
+        )
+        return (
+            interval_join_buckets(
+                purchases,
+                views,
+                by=["user_id"],
+                left_time="ts_ms",
+                right_time="view_ms",
+                lookback=3_600_000,
+            )
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_views"))
+        )
+
+    def moving_avg():
+        from pyspark.sql import Window
+
+        ev = load()
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_ns", "event_id")
+            .rowsBetween(-2, Window.currentRow)
+        )
+        return ev.select("event_id", F.avg("value").over(w).alias("mov_avg"))
+
+    def exact_dedup_props():
+        # K1 at fact scale: digest-grouped dedup (props plays the text role)
+        ev = load()
+        return (
+            ev.groupBy(F.sha2(F.col("props").cast("binary"), 256).alias("sha"))
+            .agg(F.min("event_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        )
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
         "windowed_running": windowed_running,
         "daily_agg": daily_agg,
+        "asof_purchase_view": asof_purchase_view,
+        "range_views_before_purchase": range_views_before_purchase,
+        "moving_avg": moving_avg,
+        "exact_dedup_props": exact_dedup_props,
     }
 
 

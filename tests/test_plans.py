@@ -110,7 +110,12 @@ def test_sole_latest_shipper_windows_share_one_exchange(spark):
 def test_window_family_single_shuffle(spark):
     """Per-user window queries: one user_id exchange, no extra sort
     shuffles; the two global-window queries run at user grain."""
-    for name in ["moving_avg_value", "hourly_range_sum", "event_neighbors"]:
+    for name in [
+        "moving_avg_value",
+        "hourly_range_sum",
+        "event_neighbors",
+        "locf_last_purchase",
+    ]:
         p = plan_of(spark, name)
         n_exchange = sum(
             1
