@@ -173,3 +173,52 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct.getItem(1), 6).alias("value_p95"),
         F.round(pct.getItem(2), 6).alias("value_p99"),
     )
+
+
+@query(
+    "user_type_value_map",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id,
+             event_type,
+             CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(v AS VARCHAR), ' '
+                      ORDER BY event_type) AS type_values,
+           count(*) AS n_types
+    FROM per_type
+    GROUP BY user_id
+    """,
+)
+def q_user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip (B-family widened): per-user event_type →
+    total-value MAP built with ``map_from_entries``, then unpacked via
+    ``map_entries``/``transform`` into a canonical sorted string (the
+    map itself can't hash-compare across engines; its canonical
+    serialization can). ``map_keys`` supplies the type count.
+
+    The per-(user, type) aggregate shuffles once; the map build and
+    unpack are pure expressions on the aggregate — MapType costs
+    nothing extra at scale when it's constructed post-aggregation
+    rather than carried through the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("v")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "v")))
+        ).alias("m")
+    )
+    entry_strs = F.transform(
+        F.map_entries("m"),
+        lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+    )
+    return mapped.select(
+        "user_id",
+        F.concat_ws(" ", entry_strs).alias("type_values"),
+        F.size(F.map_keys("m")).alias("n_types"),
+    )

@@ -125,3 +125,23 @@ def read_csv(spark, path: str, schema: T.StructType) -> DataFrame:
         .option("quote", '"')
         .csv(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> str:
+    """H-family widened: JSON-lines sink (the interchange format of
+    LLM-data pipelines — one JSON object per line, splittable when
+    uncompressed, schema carried in-band)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    return path
+
+
+def read_jsonl(spark, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines source with an explicit schema (never inferSchema in
+    production paths — inference is a full extra pass over 100 TB) and
+    PERMISSIVE mode: malformed lines become NULL rows instead of
+    failing the job, with the raw line preserved when the schema has a
+    ``_corrupt_record`` string field."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)

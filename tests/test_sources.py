@@ -136,3 +136,37 @@ def _session():
     from post_modern_stack_spark.session import get_spark
 
     return get_spark(app_name="pmss-tests", shuffle_partitions=8)
+
+
+def test_jsonl_roundtrip_and_permissive_corrupt_line(spark, tmp_path):
+    """JSONL sink/source round trip preserves values; a malformed line
+    surfaces as a NULL row carrying _corrupt_record, not a job failure."""
+    from pyspark.sql import types as T
+
+    from post_modern_stack_spark.sources.ingest import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25)], "id long, name string, score double"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out, compression=None)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", -0.25)}
+
+    # corrupt line handling
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.json").write_text('{"id": 3, "name": "c", "score": 2.0}\n{oops\n')
+    schema_c = schema.add("_corrupt_record", T.StringType())
+    rows = read_jsonl(spark, str(bad_dir), schema_c).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 3
+    assert len(bad) == 1 and bad[0]["id"] is None
