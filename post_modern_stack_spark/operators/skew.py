@@ -84,3 +84,70 @@ def salted_ordered_collect(
     return merged.select(
         *keys, F.transform("_all", lambda s: s.getField("_v")).alias(out_col)
     )
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tie_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    chunk_span: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Running (prefix) sum under a HOT window key — the distributed
+    prefix-sum decomposition for when one key's timeline is too large
+    for a single task's sort (the A9 running-window analog of
+    ``salted_aggregate``).
+
+    A plain ``Window.partitionBy(key).orderBy(t).rowsBetween(unbounded,
+    current)`` serializes each key into one task; a 100 TB feed with a
+    mega-tenant stalls on it. Decomposition:
+
+    1. chunk each key's timeline into CONTIGUOUS spans of ``order_col``
+       (integer division by ``chunk_span`` — contiguity is what makes
+       prefix re-assembly possible; a hash salt would interleave);
+    2. intra-chunk running sums — window over (key, chunk), so the hot
+       key now spreads across timeline-chunks ≈ parallel tasks;
+    3. per-chunk totals (tiny: keys × chunks grain) get an exclusive
+       running offset over chunks — the only per-key serial pass, at
+       chunk grain, ~span-compression-factor smaller than the data;
+    4. final = intra-chunk sum + chunk offset, attached with a join on
+       (key, chunk) that AQE plans as broadcast when the offset side is
+       small.
+
+    Semantically identical to the plain window; floating-point results
+    agree to re-association tolerance (the offset adds whole-chunk
+    totals instead of accumulating strictly row-by-row — same
+    left-to-right order, different parenthesization, so doubles can
+    drift in the last ulp; the parity test asserts < 1e-9).
+    """
+    chunk = (F.col(order_col) / F.lit(chunk_span)).cast("long").alias("_chunk")
+    from pyspark.sql import Window
+
+    w_intra = (
+        Window.partitionBy(*key_cols, "_chunk")
+        .orderBy(order_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = df.withColumn("_chunk", chunk).withColumn(
+        "_intra", F.sum(value_col).over(w_intra)
+    )
+    w_chunks = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        intra.groupBy(*key_cols, "_chunk")
+        .agg(F.sum(value_col).alias("_chunk_total"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_chunk_total").over(w_chunks), F.lit(0.0))
+        )
+        .select(*key_cols, "_chunk", "_offset")
+    )
+    return (
+        intra.join(offsets, [*key_cols, "_chunk"])
+        .withColumn(out_col, F.col("_intra") + F.col("_offset"))
+        .drop("_chunk", "_intra", "_offset")
+    )

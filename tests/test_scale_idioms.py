@@ -140,3 +140,45 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_chunked_running_sum_matches_plain_window(spark):
+    """Distributed prefix-sum parity: chunked decomposition equals the
+    single-window running sum row for row (chunk span forced small so
+    every user crosses many chunks)."""
+    from pyspark.sql import Window
+
+    from post_modern_stack_spark.operators.skew import chunked_running_sum
+    from post_modern_stack_spark.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts_ns", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["user_id"], r["event_id"]): r["run"]
+        for r in ev.withColumn("run", F.sum("value").over(w)).collect()
+    }
+    # ~6-minute chunks in ns → events spread over many chunks per user
+    got_df = chunked_running_sum(
+        ev,
+        ["user_id"],
+        "ts_ns",
+        ["event_id"],
+        "value",
+        out_col="run",
+        chunk_span=360_000_000_000,
+    )
+    got = {(r["user_id"], r["event_id"]): r["run"] for r in got_df.collect()}
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
+    # and the decomposition really used >1 chunk for most users
+    n_chunks = ev.select(
+        "user_id", (F.col("ts_ns") / 360_000_000_000).cast("long").alias("c")
+    ).distinct().groupBy("user_id").count()
+    assert n_chunks.filter(F.col("count") > 1).count() > 0
