@@ -4,7 +4,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` = sum of per-query best times over the sweep (the driver's
-headline number, compared against BASELINE.md round over round).
+headline number, compared against BASELINE.md round over round); a
+failed query reports -1 in ``queries`` but its elapsed time still
+counts toward ``value`` so breakage never reads as a speedup.
 Each query is executed to completion via a noop-sink terminal action
 (``df.write.format("noop")`` so results are fully materialized without
 driver collection overhead).
@@ -62,22 +64,28 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     total0 = time.perf_counter()
+    failed_elapsed = 0.0  # a broken query must not IMPROVE the headline
     for name in qs:
+        t0 = time.perf_counter()
         try:
             timings[name] = run_once(name)
         except Exception as e:  # a broken query must not sink the bench
             timings[name] = -1.0
+            failed_elapsed += time.perf_counter() - t0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-    first_sweep = time.perf_counter() - total0
 
-    if first_sweep < RETRY_BUDGET_SEC:
-        for name in [n for n, t in timings.items() if t > RETRY_ABOVE_SEC]:
-            try:
-                timings[name] = min(timings[name], run_once(name))
-            except Exception as e:
-                print(f"bench: {name} retry FAILED: {e}", file=sys.stderr)
+    # retries stop the moment the CUMULATIVE budget is spent, not just
+    # on a gate at entry — a noisy first sweep must not double the run
+    for name in [n for n, t in timings.items() if t > RETRY_ABOVE_SEC]:
+        if time.perf_counter() - total0 > RETRY_BUDGET_SEC:
+            print("bench: retry budget exhausted, keeping first-run times", file=sys.stderr)
+            break
+        try:
+            timings[name] = min(timings[name], run_once(name))
+        except Exception as e:
+            print(f"bench: {name} retry FAILED: {e}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t > 0), 3)
+    total = round(sum(t for t in timings.values() if t > 0) + failed_elapsed, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

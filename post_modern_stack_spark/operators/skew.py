@@ -122,7 +122,10 @@ def chunked_running_sum(
     left-to-right order, different parenthesization, so doubles can
     drift in the last ulp; the parity test asserts < 1e-9).
     """
-    chunk = (F.col(order_col) / F.lit(chunk_span)).cast("long").alias("_chunk")
+    # integer DIV, never float division: ns-epoch ordering keys exceed
+    # 2^53, so double math would drift chunk boundaries (registry.py
+    # documents the same rule for ts_ns normalization)
+    chunk = F.expr(f"`{order_col}` DIV {int(chunk_span)}").alias("_chunk")
     from pyspark.sql import Window
 
     w_intra = (

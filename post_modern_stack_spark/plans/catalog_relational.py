@@ -756,14 +756,18 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"),
     )
-    min_costs = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    # aliased output columns: a self-derived join on same-named columns
+    # would lean on Spark's ambiguous-self-join disambiguation (and log
+    # a "trivially true predicate" warning); distinct names are robust
+    min_costs = costs.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("mc_min_cost")
+    ).select(F.col("l_partkey").alias("mc_partkey"), "mc_min_cost")
     return (
         costs.join(
             min_costs,
-            (costs.l_partkey == min_costs.l_partkey)
-            & (costs.unit_cost == min_costs.min_cost),
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("mc_min_cost")),
         )
-        .drop(min_costs.l_partkey)
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
@@ -782,8 +786,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) >
-           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0005 FROM lineitem)
+    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) >
+           (SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.0005, 2)
+            FROM lineitem)
     """,
 )
 def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,12 +803,14 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("__v"))
-    total = li.agg((F.sum(value) * F.lit(0.0005)).alias("__threshold"))
+    # both compare sides round to 2dp so cross-engine double-summation
+    # drift near the threshold cannot flip row membership vs the oracle
+    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(value), 2).alias("__v"))
+    total = li.agg(F.round(F.sum(value) * F.lit(0.0005), 2).alias("__threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("__v") > F.col("__threshold"))
-        .select("l_partkey", F.round("__v", 2).alias("part_value"))
+        .select("l_partkey", F.col("__v").alias("part_value"))
     )
 
 
@@ -1018,7 +1025,8 @@ def q_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                 AS numcust,
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 6)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
     """,
@@ -1035,9 +1043,11 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # threshold rounds to 6dp on both sides: the raw c_acctbal doubles
+    # are bit-identical across engines, only the avg accumulation drifts
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("__avg"))
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("__avg"))
     )
     return (
         c.join(F.broadcast(avg_bal))

@@ -268,7 +268,10 @@ def q_daily_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
     )
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("day_value")
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.lit(1).alias("__hit"),  # join-miss marker: matches the
+        # oracle's `d.user_id IS NULL`, not day_value's nullness (a day
+        # whose values were all NULL is a real day, not a gap)
     )
     return (
         spine.join(daily, ["user_id", "day"], "left")
@@ -276,7 +279,7 @@ def q_daily_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
-            F.when(F.col("day_value").isNull(), F.lit(1))
+            F.when(F.col("__hit").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("gap_filled"),
         )

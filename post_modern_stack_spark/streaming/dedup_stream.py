@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def dedup_events(
@@ -27,19 +28,31 @@ def dedup_events(
     keys: Sequence[str] = ("event_id",),
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Exactly-once event feed by key: first arrival wins, duplicates
-    within the watermark horizon are dropped.
+    """Exactly-once event feed by key, duplicates within the watermark
+    horizon dropped.
 
     Batch and streaming share the call so parity tests can run the
-    same plan both ways: on a static frame the watermark is a no-op
-    and dedup is the global exact K1 semantics; on a stream, state is
-    watermark-bounded and duplicates separated by more than the
-    horizon are NOT caught (that is the documented contract — pair
-    with a periodic batch sweep for full-history guarantees, the
-    standard lambda posture for dedup at scale).
+    same plan both ways. Streaming keeps the FIRST ARRIVAL per key
+    (processing order — that is ``dropDuplicatesWithinWatermark``'s
+    contract), with state bounded by the watermark; duplicates
+    separated by more than the horizon are NOT caught (pair with a
+    periodic batch sweep for full-history guarantees — the standard
+    lambda posture for dedup at scale). Batch has no arrival order, so
+    it keeps a DETERMINISTIC row instead: earliest event time, then
+    smallest remaining-column tuple (plain ``dropDuplicates`` would
+    keep whichever row a partition surfaces first — nondeterministic
+    when same-key rows differ in payload). The two paths agree exactly
+    when duplicates are bitwise-identical.
     """
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
-    return events.dropDuplicates(list(keys))
+    order_cols = ["ts"] if "ts" in events.columns else []
+    order_cols += [c for c in events.columns if c not in keys and c not in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
