@@ -1100,3 +1100,75 @@ def q_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "lineitem_measures_long",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           measure,
+           amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             round(l_quantity, 2)      AS quantity,
+             round(l_extendedprice, 2) AS price,
+             round(l_discount, 2)      AS discount,
+             round(l_tax, 2)           AS tax
+      FROM lineitem
+      WHERE l_orderkey < 100
+    )
+    UNPIVOT (amount FOR measure IN (quantity, price, discount, tax))
+    """,
+)
+def q_lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the pivot inverse / pandas ``melt``):
+    per-line measures unpacked into (measure, amount) rows.
+
+    ``DataFrame.unpivot`` plans as a single Expand over the scan — the
+    row count multiplies by the measure count but nothing shuffles;
+    the measure-name column is a literal, so downstream groupBys on it
+    aggregate partially map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("quantity"),
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 2).alias("discount"),
+        F.round("l_tax", 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "price", "discount", "tax"],
+        "measure",
+        "amount",
+    )
+
+
+@query(
+    "customer_order_flags",
+    oracle="""
+    SELECT o_custkey,
+           bool_or(o_orderpriority = '1-URGENT')  AS any_urgent,
+           bool_and(o_totalprice > 1000)          AS all_above_1k,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS n_finished
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_customer_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (``any``/``every`` — SQL bool_or/bool_and):
+    per-customer order-quality flags. Partial aggregation applies
+    (booleans merge associatively), so the flags survive fact scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_finished"),
+    )

@@ -286,3 +286,38 @@ def q_regex_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("e")).alias("n_e"),
         F.length(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("squeezed_len"),
     )
+
+
+@query(
+    "fuzzy_source_pairs",
+    oracle="""
+    SELECT a.source AS source_a,
+           b.source AS source_b,
+           levenshtein(a.source, b.source) AS edit_dist
+    FROM (SELECT DISTINCT source FROM documents) a
+    JOIN (SELECT DISTINCT source FROM documents) b
+      ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 4
+    """,
+)
+def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance ≤ k) over a DISTINCT
+    attribute domain — the entity-resolution primitive for catalog
+    cleanup (near-identical source/brand/vendor labels).
+
+    Spark-first: the n² comparison runs on the DEDUPLICATED domain
+    (|distinct| ≪ |rows| — here a handful of sources from millions of
+    docs), broadcast self-joined; ``levenshtein`` is a JVM built-in.
+    At 100 TB the distinct-value extraction is the only fact-table
+    pass; blocking (first-char / length bands) bounds the pair count
+    if the domain itself grows large.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.select("source").distinct()
+    a = dom.select(F.col("source").alias("source_a"))
+    b = dom.select(F.col("source").alias("source_b"))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .withColumn("edit_dist", F.levenshtein("source_a", "source_b"))
+        .filter(F.col("edit_dist") <= 4)
+    )

@@ -1,4 +1,6 @@
-"""Streaming exact deduplication (SURVEY.md §2 J1/J2 × K1).
+"""Streaming incremental operators beyond sessionization (SURVEY.md §2
+J1/J2 × K1): watermark-bounded exact dedup and the stream-stream
+interval join.
 
 The batch K1 operator (operators/dedup.exact_dedup) reprocesses the
 whole corpus per run — the reference's append-only-log posture
@@ -56,3 +58,46 @@ def dedup_events(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def view_purchase_stream_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (J-family): each purchase joined to
+    the same user's views from the trailing ``lookback`` window — the
+    incremental form of the batch range join
+    (operators/rangejoin.interval_join_buckets; attribution's
+    "views before purchase" semantics).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, which is exactly what lets Spark expire join
+    state: a buffered view can be dropped once the watermark passes
+    ``view.ts + lookback`` (no unbounded state on an unbounded feed).
+    On static frames the same call degrades to a plain inequality
+    join, so batch/stream parity is testable with identical code.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"p_user_id = v_user_id AND "
+            f"v_ts >= p_ts - INTERVAL {lookback} AND v_ts < p_ts"
+        ),
+    ).select("p_user_id", "purchase_id", "purchase_value", "view_id", "v_ts")

@@ -185,3 +185,30 @@ def test_stream_dedup_drops_within_watermark_dupes(spark, events_dir, tmp_path):
     assert got_rows == want_rows
     # and the duplicated feed really had 2x rows before dedup
     assert spark.read.parquet(dup_dir).count() == 2 * len(want_rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """J-family stream-stream join parity: the watermarked interval
+    join over two event-type streams produces exactly the batch
+    inequality-join rows (availableNow drains everything, so late-data
+    drops don't apply)."""
+    from post_modern_stack_spark.streaming.dedup_stream import (
+        view_purchase_stream_join,
+    )
+
+    stream = S.stream_events(spark, events_dir)
+    sp = stream.filter(F.col("event_type") == "purchase")
+    sv = stream.filter(F.col("event_type") == "view")
+    got = _run_to_memory(
+        spark, view_purchase_stream_join(sp, sv), "ss_join_out"
+    )
+
+    batch = load_table(spark, SF, "events")
+    bp = batch.filter(F.col("event_type") == "purchase")
+    bv = batch.filter(F.col("event_type") == "view")
+    want = view_purchase_stream_join(bp, bv)
+
+    got_rows = {tuple(r) for r in got.select("purchase_id", "view_id").collect()}
+    want_rows = {tuple(r) for r in want.select("purchase_id", "view_id").collect()}
+    assert got_rows == want_rows
+    assert len(want_rows) > 0
