@@ -587,3 +587,29 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
+
+
+@query("daily_sketch_rollup")  # rows-only: HLL estimates are approximate (K6)
+def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 MERGEABLE-sketch posture: per-day HLL sketches of the user
+    set, unioned into a period-level distinct estimate WITHOUT
+    re-scanning the raw data — the pattern that makes distinct-counting
+    tractable at 100 TB (store tiny daily sketches; any date-range
+    distinct is a sketch merge, not a fact-table pass).
+
+    ``hll_sketch_agg`` → binary sketch per day; ``hll_union_agg`` merges
+    them; ``hll_sketch_estimate`` reads estimates out. The merged
+    estimate equals (±HLL error) the full-scan distinct while touching
+    only |days| sketch rows at query time; the naive sum of daily
+    distincts overcounts repeat users — both emitted so the difference
+    is visible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_merged"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_daily_distincts"),
+    )

@@ -146,6 +146,7 @@ def run_nep_flow(
         "info": info,
         "run_dir": runner.base,
         "stages": [r.name for r in runner.results],
+        "stage_rows": {r.name: r.rows for r in runner.results},
         "manifest": reg.manifest(),
         "metrics": dict(metric_rows),
     }

@@ -162,3 +162,23 @@ def test_full_nep_flow(spark, raw_log, tmp_path):
     assert row["s3"]["x_padded"] == row["s3"]["x_enc"][-20:]
     # F2: encoded ids ≥ 1; y_label = y_enc - 1 (the off-by-one trap)
     assert all(r["y_label"] == r["y_enc"] - 1 for r in row.values())
+
+
+def test_stage_rows_observed_without_extra_jobs(spark, raw_log, tmp_path):
+    """I-family observability: every checkpoint records its row count
+    via df.observe (accumulated during the write, no second count job)
+    and the counts match the artifacts on disk."""
+    raw = ingest.read_raw_events(spark, raw_log)
+    out = run_nep_flow(
+        spark,
+        raw,
+        str(tmp_path),
+        "run-obs",
+        api_key=API_A,
+        start_date="2019-01-01",
+        end_date="2019-03-14",
+    )
+    for name, rows in out["stage_rows"].items():
+        assert rows is not None
+        on_disk = spark.read.parquet(out["run_dir"] + "/" + name).count()
+        assert rows == on_disk, name

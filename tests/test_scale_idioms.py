@@ -182,3 +182,19 @@ def test_chunked_running_sum_matches_plain_window(spark):
         "user_id", (F.col("ts_ns") / 360_000_000_000).cast("long").alias("c")
     ).distinct().groupBy("user_id").count()
     assert n_chunks.filter(F.col("count") > 1).count() > 0
+
+
+def test_hll_sketch_merge_tracks_exact_distinct(spark):
+    """K6 mergeable sketches: the union of per-day HLL sketches
+    estimates the period distinct within HLL error (≤5% at default
+    lgConfigK=12), and is NOT the (overcounting) sum of daily counts."""
+    import __spark_entry__ as entry_mod
+    from post_modern_stack_spark.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = entry_mod.queries()["daily_sketch_rollup"](spark, sf).collect()[0]
+    exact = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert abs(row["distinct_users_merged"] - exact) / exact <= 0.05
+    assert row["sum_daily_distincts"] >= row["distinct_users_merged"]
