@@ -103,3 +103,71 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: list[str
     sort-merge path (Catalyst broadcasts small tables regardless of
     bucketing)."""
     return spark.table(left).join(spark.table(right), on)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
+    """Z-order (Morton) interleave of N numeric columns into one sort
+    key: each column is rank-normalized by the caller to [0, 2^bits)
+    and its bits are interleaved, so sorting by the key clusters rows
+    that are close in EVERY dimension — multi-dimensional file-stat
+    pruning from a one-dimensional sort.
+
+    Pure JVM bit expressions (shiftleft/or over longs): no UDF, safe
+    under ANSI (bitwise ops never overflow-check). bits=16 × ≤4 cols
+    stays inside a 64-bit long.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, c in enumerate(cols):
+            src_bit = F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(src_bit.cast("long"), bit * n + ci)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rank-normalize the cluster columns
+    (ntile over each — rank, not raw value, so skewed domains still
+    spread uniformly across the grid), interleave into a Morton key,
+    range-partition + sort by it. Files then cover small hyper-rect
+    regions of the column space, so parquet min/max stats prune on
+    ANY clustered column, not just the first sort column — the
+    multi-dimensional upgrade of ``write_clustered`` for workloads
+    that filter sometimes by tenant, sometimes by date, sometimes by
+    both.
+
+    The ntile rank pass costs one global-ish window per column at
+    WRITE time (over 2^bits buckets — ntile of the sorted column);
+    at 100 TB use an approximate variant (approxQuantile cutpoints →
+    ``width_bucket``) to avoid the global sort; exact ntile is right
+    at maintenance-job scale.
+    """
+    from pyspark.sql import Window
+
+    levels = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        rc = f"__zr_{c}"
+        ranked = ranked.withColumn(
+            rc, (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long")
+        )
+        rank_cols.append(rc)
+    keyed = ranked.withColumn("__zkey", zorder_key(rank_cols, bits)).drop(*rank_cols)
+    part = (
+        keyed.repartitionByRange(partitions, "__zkey")
+        if partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    part.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(path)

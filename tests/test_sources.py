@@ -170,3 +170,52 @@ def test_jsonl_roundtrip_and_permissive_corrupt_line(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and good[0]["id"] == 3
     assert len(bad) == 1 and bad[0]["id"] is None
+
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """Z-ordered layout: every file covers a narrow range of BOTH
+    cluster columns (vs plain range-clustering, which is narrow in the
+    first column only), so min/max stats prune on either predicate."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.sources.layout import write_zordered, zorder_key
+
+    # direct key check: (3, 0) with 2 bits → y1x1 y0x0 interleave
+    row = (
+        spark.range(1)
+        .select(F.lit(3).alias("x"), F.lit(0).alias("y"))
+        .select(zorder_key(["x", "y"], bits=2).alias("k"))
+        .collect()[0]
+    )
+    assert row["k"] == 0b0101
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        (F.pmod(F.xxhash64("id"), F.lit(64))).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, ["a", "b"], bits=6, partitions=16)
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    # per-file spans: both dims should be narrow for most files
+    spans_a, spans_b = [], []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("a"), F.max("a"), F.min("b"), F.max("b")
+        ).collect()[0]
+        spans_a.append(pdf[1] - pdf[0])
+        spans_b.append(pdf[3] - pdf[2])
+    avg_a = sum(spans_a) / len(spans_a)
+    avg_b = sum(spans_b) / len(spans_b)
+    # full domain is 64; clustered files must cover well under half of
+    # it on average in EACH dimension
+    assert avg_a < 32, f"dim a not clustered: avg span {avg_a}"
+    assert avg_b < 32, f"dim b not clustered: avg span {avg_b}"
+    # and the data survived intact
+    assert spark.read.parquet(out).count() == n
