@@ -65,6 +65,7 @@ def view_purchase_stream_join(
     views: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (J-family): each purchase joined to
     the same user's views from the trailing ``lookback`` window — the
@@ -78,6 +79,17 @@ def view_purchase_stream_join(
     ``view.ts + lookback`` (no unbounded state on an unbounded feed).
     On static frames the same call degrades to a plain inequality
     join, so batch/stream parity is testable with identical code.
+
+    ``how='left_outer'`` keeps view-less purchases (attribution's
+    "organic conversion" rows): in streaming, the null-padded row is
+    emitted only once the watermark proves no matching view can still
+    arrive — exactly why outer stream-stream joins REQUIRE the
+    watermark + two-sided time bound that the inner join merely
+    benefits from. Note the GLOBAL watermark is the minimum over both
+    inputs (multipleWatermarkPolicy=min): null emission for the newest
+    purchases waits until BOTH feeds advance past them, so a stalled
+    view feed delays outer results — by design (emitting earlier could
+    be wrong).
     """
     p = purchases.select(
         F.col("user_id").alias("p_user_id"),
@@ -100,4 +112,5 @@ def view_purchase_stream_join(
             f"p_user_id = v_user_id AND "
             f"v_ts >= p_ts - INTERVAL {lookback} AND v_ts < p_ts"
         ),
+        how,
     ).select("p_user_id", "purchase_id", "purchase_value", "view_id", "v_ts")

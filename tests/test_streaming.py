@@ -212,3 +212,57 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     want_rows = {tuple(r) for r in want.select("purchase_id", "view_id").collect()}
     assert got_rows == want_rows
     assert len(want_rows) > 0
+
+
+def test_stream_stream_left_outer_join_emits_viewless_purchases(spark, events_dir, tmp_path):
+    """Outer stream-stream join: purchases with no in-window view come
+    out null-padded (emitted on watermark close; availableNow drains
+    state fully so the batch outer join is the exact expectation)."""
+    from post_modern_stack_spark.streaming.dedup_stream import (
+        view_purchase_stream_join,
+    )
+
+    # outer-join null rows emit only when the watermark passes the
+    # purchase's join window — append one far-future flush event so
+    # even the latest purchase's state expires before the drain ends
+    import shutil as _sh
+
+    flush_dir = str(tmp_path / "outer_feed")
+    _sh.copytree(events_dir, flush_dir)
+    far_ns = load_table(spark, SF, "events").agg(F.max("ts_ns")).collect()[0][0]
+    # one flush per SIDE: the global watermark is the MIN over all
+    # watermarked inputs, so a view-only flush would leave the purchase
+    # side's watermark (and the last purchases' outer state) behind
+    spark.createDataFrame(
+        [
+            (10**9, far_ns + 10 * 24 * 3600 * 10**9, -1, "view", 0.0, "{}"),
+            (10**9 + 1, far_ns + 10 * 24 * 3600 * 10**9, -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).write.mode("append").parquet(flush_dir)
+
+    stream = S.stream_events(spark, flush_dir)
+    got = _run_to_memory(
+        spark,
+        view_purchase_stream_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "view"),
+            how="left_outer",
+        ),
+        "ss_outer_out",
+    )
+    batch = load_table(spark, SF, "events")
+    want = view_purchase_stream_join(
+        batch.filter(F.col("event_type") == "purchase"),
+        batch.filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    got_rows = {
+        tuple(r)
+        for r in got.select("purchase_id", "view_id").collect()
+        if r["purchase_id"] < 10**9  # drop the flush sentinels
+    }
+    want_rows = {tuple(r) for r in want.select("purchase_id", "view_id").collect()}
+    assert got_rows == want_rows
+    # the outer join genuinely added null-padded rows vs the inner one
+    assert any(v is None for _, v in want_rows)
