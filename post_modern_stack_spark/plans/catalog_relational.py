@@ -1172,3 +1172,88 @@ def q_customer_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
         ).alias("n_finished"),
     )
+
+
+@query(
+    "customer_order_histogram",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate
+    (not a WHERE — customers with zero qualifying orders must survive
+    with count 0), then a count-distribution histogram.
+
+    Spark-first: the filter rides IN the join condition so the outer
+    semantics hold; `count(o_orderkey)` counts only matched rows (null
+    doesn't count) — the standard outer-join-count idiom. Two
+    aggregations: per-customer (fact-sized shuffle, map-side combined)
+    then the tiny histogram.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "discounted_brand_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 5 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 10 AND l.l_quantity <= 50)
+    """,
+)
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table predicate
+    over a join — the case that defeats naive per-table pushdown.
+
+    Spark-first: Catalyst factors the table-local parts of the
+    disjunction out of the join condition: the part side gets
+    `brand IN (...) AND size BETWEEN 1 AND 35` and the lineitem side
+    `quantity BETWEEN 1 AND 50` pushed to the scans (the union bounds
+    of the OR arms), while the full disjunction evaluates post-join.
+    The part side still broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        joined.filter(
+            arm("Brand#1", 15, 1, 30) | arm("Brand#2", 25, 5, 40) | arm("Brand#3", 35, 10, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
