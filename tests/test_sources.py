@@ -219,3 +219,41 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     assert avg_b < 32, f"dim b not clustered: avg span {avg_b}"
     # and the data survived intact
     assert spark.read.parquet(out).count() == n
+
+
+def test_synthetic_events_datasource(spark):
+    """Custom Python DataSource: registered by name, partition-parallel,
+    deterministic — same rows regardless of partition count."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.sources.synthetic import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("users", 50)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert df.count() == 5000
+    assert df.rdd.getNumPartitions() == 8
+    stats = df.agg(
+        F.count_distinct("user_id").alias("u"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] == 4999
+    assert stats["u"] == 50
+
+    # determinism across partitioning: identical content with 3 partitions
+    df3 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("users", 50)
+        .option("numPartitions", 3)
+        .load()
+    )
+    h1 = df.agg(F.bit_xor(F.xxhash64(*df.columns)).alias("h")).collect()[0]["h"]
+    h3 = df3.agg(F.bit_xor(F.xxhash64(*df3.columns)).alias("h")).collect()[0]["h"]
+    assert h1 == h3
