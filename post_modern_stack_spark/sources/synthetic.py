@@ -88,6 +88,50 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader:
+    """Simple streaming reader (Spark 4 ``SimpleDataSourceStreamReader``
+    protocol): the offset IS the next ``event_id`` — a totally ordered,
+    replayable position, so micro-batches are exactly-once across
+    restarts (``readBetweenOffsets`` regenerates any committed span
+    deterministically; rows are pure functions of event_id).
+    """
+
+    def __init__(self, options):
+        self.users = int(options.get("users", 100))
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = lo + self.rows_per_batch
+        # a LIST, not a generator: the runner's prefetch cache shallow-
+        # copies the iterator for replay, which a generator can't survive
+        return list(self._gen(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return list(self._gen(start["next"], end["next"]))
+
+    def commit(self, end):
+        pass  # nothing to clean up: generation is stateless
+
+    def _gen(self, lo: int, hi: int):
+        users = self.users
+        for i in range(lo, hi):
+            yield (
+                i,
+                _BASE_NS + i * _STEP_NS,
+                _mix(i, 1) % users,
+                _TYPES[_mix(i, 2) % len(_TYPES)],
+                (_mix(i, 3) % 10_000) / 100.0,
+                '{"k": %d}' % (_mix(i, 4) % 100),
+            )

@@ -257,3 +257,58 @@ def test_synthetic_events_datasource(spark):
     h1 = df.agg(F.bit_xor(F.xxhash64(*df.columns)).alias("h")).collect()[0]["h"]
     h3 = df3.agg(F.bit_xor(F.xxhash64(*df3.columns)).alias("h")).collect()[0]["h"]
     assert h1 == h3
+
+
+def test_synthetic_events_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Custom STREAMING source: offsets advance per micro-batch and a
+    restart from the checkpoint continues exactly where the last run
+    committed (no gaps, no repeats)."""
+    from post_modern_stack_spark.sources.synthetic import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def committed_rows() -> int:
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    def run_until_output_exceeds(prev_rows: int):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", 500)
+            .option("users", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline and committed_rows() <= prev_rows:
+            time.sleep(0.5)
+        q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            # stop() mid-batch aborts the in-flight task; the parquet
+            # sink's commit log keeps the output transactional, so an
+            # aborted batch is simply invisible — safe to ignore here
+            pass
+
+    run_until_output_exceeds(0)
+    first = {r["event_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(first) >= 500 and min(first) == 0
+    # ids are contiguous from 0 (offset discipline within the run)
+    assert first == set(range(len(first)))
+    run_until_output_exceeds(len(first))
+    both = {r["event_id"] for r in spark.read.parquet(out_dir).collect()}
+    # restart resumed AFTER the committed offset: still contiguous from
+    # 0 with NO duplicates (exactly-once), and strictly more data
+    assert both == set(range(len(both)))
+    assert len(both) > len(first)
