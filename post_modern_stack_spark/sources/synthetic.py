@@ -119,7 +119,10 @@ class SyntheticEventsStreamReader:
         return list(self._gen(lo, hi)), {"next": hi}
 
     def readBetweenOffsets(self, start, end):
-        return list(self._gen(start["next"], end["next"]))
+        # the replay path requires an ITERATOR (a list fails type
+        # validation there), while read() requires a copyable sequence
+        # for the prefetch cache — hence the asymmetry
+        return self._gen(start["next"], end["next"])
 
     def commit(self, end):
         pass  # nothing to clean up: generation is stateless

@@ -198,3 +198,92 @@ def test_hll_sketch_merge_tracks_exact_distinct(spark):
     )
     assert abs(row["distinct_users_merged"] - exact) / exact <= 0.05
     assert row["sum_daily_distincts"] >= row["distinct_users_merged"]
+
+
+def _hyp_session():
+    from post_modern_stack_spark.session import get_spark
+
+    return get_spark()
+
+
+def test_zorder_key_is_bijective_and_pure():
+    """Morton interleave properties over random in-range pairs: the key
+    is a bijection (distinct inputs → distinct keys) and decomposes
+    back to its inputs bit-by-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from post_modern_stack_spark.sources.layout import zorder_key
+
+    spark = _hyp_session()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=2,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def prop(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        rows = df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("k")).collect()
+        keys = [r["k"] for r in rows]
+        assert len(set(keys)) == len(pairs)  # bijective on unique pairs
+        for r in rows:
+            x = y = 0
+            for bit in range(8):
+                x |= ((r["k"] >> (2 * bit)) & 1) << bit
+                y |= ((r["k"] >> (2 * bit + 1)) & 1) << bit
+            assert (x, y) == (r["x"], r["y"])
+
+    prop()
+
+
+def test_chunked_running_sum_property_random_timelines():
+    """Prefix-sum decomposition equals the plain running window on
+    arbitrary small timelines (duplicate timestamps included — the
+    tie-break column disambiguates identically in both plans)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators.skew import chunked_running_sum
+
+    spark = _hyp_session()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),          # key
+                st.integers(0, 1000),       # order value (dupes likely)
+                st.floats(-100, 100, allow_nan=False, width=32),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(rows):
+        data = [(k, t, i, float(v)) for i, (k, t, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "k long, t long, uid long, v double")
+        w = (
+            Window.partitionBy("k")
+            .orderBy("t", "uid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r["k"], r["uid"]): r["run"]
+            for r in df.withColumn("run", F.sum("v").over(w)).collect()
+        }
+        got_df = chunked_running_sum(
+            df, ["k"], "t", ["uid"], "v", out_col="run", chunk_span=100
+        )
+        got = {(r["k"], r["uid"]): r["run"] for r in got_df.collect()}
+        assert got.keys() == want.keys()
+        for key, val in want.items():
+            assert abs(got[key] - val) < 1e-6, key
+
+    prop()
