@@ -613,3 +613,67 @@ def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_merged"),
         F.sum(F.hll_sketch_estimate("sk")).alias("sum_daily_distincts"),
     )
+
+
+@query(
+    "negative_samples",
+    oracle="""
+    WITH interacted AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    users AS (SELECT DISTINCT user_id FROM interacted),
+    domain AS (SELECT DISTINCT k FROM interacted),
+    candidates AS (
+      SELECT u.user_id, d.k,
+             (u.user_id * 2654435761 + d.k * 40503) % 1000003 AS h
+      FROM users u CROSS JOIN domain d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM interacted i WHERE i.user_id = u.user_id AND i.k = d.k
+      )
+    )
+    SELECT user_id, k AS neg_item, rank FROM (
+      SELECT user_id, k,
+             row_number() OVER (PARTITION BY user_id ORDER BY h, k) AS rank
+      FROM candidates
+    ) WHERE rank <= 3
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (the recommender/contrastive-
+    training staple the reference's LSTM pipeline would need for
+    pairwise losses): per user, 3 pseudo-random items they did NOT
+    interact with.
+
+    Spark-first at 100 TB: the item DOMAIN is catalog-sized →
+    broadcast; the anti-join (NOT EXISTS) is a left_anti against the
+    user's interacted set; "random" choice is an ARITHMETIC hash
+    (Knuth multiplicative mod a prime) so the sample is reproducible,
+    partition-independent, and cross-engine identical — seeded `rand()`
+    would be none of those. Per-user top-3 via WindowGroupLimit prunes
+    map-side.
+    """
+    from post_modern_stack_spark.operators.shaping import top_k_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    interacted = (
+        ev.filter(F.col("event_type").isin(*EVENT_TYPES))
+        .select("user_id", json_get("props", "k", "long").alias("k"))
+        .distinct()
+    )
+    users = interacted.select("user_id").distinct()
+    domain = interacted.select("k").distinct()
+    candidates = (
+        users.join(F.broadcast(domain))
+        .join(interacted, ["user_id", "k"], "left_anti")
+        .withColumn(
+            "h",
+            (F.col("user_id") * F.lit(2654435761) + F.col("k") * F.lit(40503))
+            % F.lit(1_000_003),
+        )
+    )
+    return top_k_per_group(candidates, ["user_id"], [F.asc("h"), F.asc("k")], 3).select(
+        "user_id", F.col("k").alias("neg_item"), "rank"
+    )
