@@ -105,16 +105,20 @@ def language_id(
     grams = df.select(
         F.col(id_col), F.explode(char_ngrams(text_col)).alias("ngram")
     )
+    # scores round to 6dp BEFORE the argmax: equal weight-multisets
+    # summed in different partial-agg orders drift in the last ulp, so
+    # ranking on the raw double would be nondeterministic run-to-run
+    # (and cross-engine); the rounded score + lang tie-break is total
     scored = (
         grams.join(F.broadcast(profiles), "ngram")
         .groupBy(id_col, "lang")
-        .agg(F.sum("weight").alias("score"))
+        .agg(F.round(F.sum("weight"), 6).alias("score"))
     )
     return scored.groupBy(id_col).agg(
         F.max_by("lang", F.struct(F.col("score"), F.col("lang"))).alias(
             "predicted_lang"
         ),
-        F.round(F.max("score"), 6).alias("lang_score"),
+        F.max("score").alias("lang_score"),
     )
 
 

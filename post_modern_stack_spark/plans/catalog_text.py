@@ -226,12 +226,50 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_pairs(verified)
 
 
-@query("language_id")  # rows-only: profile-training composition is engine-defined
+@query(
+    "language_id",
+    oracle="""
+    WITH g_train AS (
+      SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS ngram
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+      WHERE doc_id % 10 = 0
+    ),
+    counts AS (SELECT lang, ngram, count(*) AS cnt FROM g_train GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, ngram, 1.0 / rk AS weight FROM (
+        SELECT lang, ngram,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, ngram) AS rk
+        FROM counts
+      ) WHERE rk <= 50
+    ),
+    g_all AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS ngram
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+    ),
+    scored AS (
+      SELECT g.doc_id, p.lang, round(sum(p.weight), 6) AS score
+      FROM g_all g JOIN prof p USING (ngram)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang AS predicted_lang, score AS lang_score FROM (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 language-ID: char-trigram profiles trained on a deterministic
     10% sample (profiles are a small artifact — training on the full
     corpus doubles the trigram explode for no profile gain), applied to
-    the full corpus via broadcast join + argmax."""
+    the full corpus via broadcast join + argmax. Oracle-paired: the
+    whole train-then-score pipeline restated in SQL; per-(doc, lang)
+    scores round to 6dp before the argmax on BOTH sides so the winner
+    is total-ordered (score, lang) in each engine."""
     d = load_table(spark, sf_dir, "documents")
     profiles = textstats.ngram_language_profiles(d.filter(F.col("doc_id") % 10 == 0))
     return textstats.language_id(d, profiles)
