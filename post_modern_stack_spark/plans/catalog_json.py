@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from post_modern_stack_spark.functions import json_get
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -221,4 +222,66 @@ def q_user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.concat_ws(" ", entry_strs).alias("type_values"),
         F.size(F.map_keys("m")).alias("n_types"),
+    )
+
+
+@query(
+    "viewed_vs_purchased_items",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             list_sort(list(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       FILTER (WHERE event_type = 'view'))     AS viewed,
+             list_sort(list(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase')) AS purchased
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           coalesce(array_to_string(list_sort(list_filter(coalesce(viewed, []),
+                             x -> list_contains(coalesce(purchased, []), x))), ' '), '')
+             AS converted,
+           coalesce(array_to_string(list_sort(list_filter(coalesce(viewed, []),
+                             x -> NOT list_contains(coalesce(purchased, []), x))), ' '), '')
+             AS browsed_only,
+           len(list_filter(coalesce(viewed, []),
+                           x -> list_contains(coalesce(purchased, []), x)))
+             AS n_converted
+    FROM per_user
+    """,
+)
+def q_viewed_vs_purchased_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operators (D-family widened): per-user item sets for
+    two event types, intersected (viewed AND purchased = converted) and
+    differenced (viewed only) with ``array_intersect``/``array_except``
+    — the funnel-analysis shape over collected sets.
+
+    One shuffle (the conditional collect_set aggregation); the set
+    algebra is pure expression work on user-grain rows. Arrays emit
+    sorted + space-joined so cross-engine comparison is canonical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = json_get("props", "k", "long")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_set(F.when(F.col("event_type") == "view", k)).alias("viewed"),
+            F.collect_set(F.when(F.col("event_type") == "purchase", k)).alias(
+                "purchased"
+            ),
+        )
+    )
+    inter = F.array_sort(F.array_intersect("viewed", "purchased"))
+    only = F.array_sort(F.array_except("viewed", "purchased"))
+    return per_user.select(
+        "user_id",
+        F.concat_ws(" ", F.transform(inter, lambda x: x.cast("string"))).alias(
+            "converted"
+        ),
+        F.concat_ws(" ", F.transform(only, lambda x: x.cast("string"))).alias(
+            "browsed_only"
+        ),
+        F.size(inter).alias("n_converted"),
     )
