@@ -40,11 +40,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one registry table, normalizing physical quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads only as a nanosecond long (``nanosAsLong``). We expose:
-      - ``ts``     TimestampType (microsecond truncation, UTC) — for
+    ``events.ts`` has shipped both as parquet TIMESTAMP(NANOS) (Spark
+    reads it only as a nanosecond long via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (native TimestampType). Either way we expose:
+      - ``ts``     TimestampType (microsecond precision, UTC) — for
                    date math and windowing;
-      - ``ts_ns``  LongType raw nanoseconds — the exact ordering /
+      - ``ts_ns``  LongType epoch nanoseconds — the exact ordering /
                    tie-break key (SURVEY.md §7 watch-list 1);
       - ``ts_ms``  LongType epoch milliseconds — the reference's native
                    event-time unit (reference upload_to_snowflake.py:59).
@@ -53,12 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
-            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+                .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+            )
+        else:
+            if ts_type == "timestamp_ntz":
+                # isAdjustedToUTC=false parquet stamps; session tz is
+                # pinned to UTC so the NTZ wall clock IS the UTC instant.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000")).withColumn(
+                "ts_ms", F.expr("unix_micros(ts) DIV 1000")
+            )
     return df
 
 
