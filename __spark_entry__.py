@@ -39,10 +39,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     qs = entryflow.QUERIES
     defer = set(entryflow.DEFER_FROM_WINDOW)
-    oracled = [n for n in qs if n in entryflow.ORACLES and n not in defer]
-    deferred = [n for n in qs if n in defer]
-    rows_only = [n for n in qs if n not in entryflow.ORACLES and n not in defer]
-    return {n: qs[n] for n in (*oracled, *deferred, *rows_only)}
+    green = entryflow.DRIVER_GREEN
+
+    def bucket(n: str) -> int:
+        # 0: flagship smoke anchor
+        # 1: never-driver-checked, oracle-paired (hard hash gate)
+        # 2: never-driver-checked, rows-only (weaker driver check)
+        # 3: near-duplicate shapes explicitly deferred from the window
+        # 4: already green in a prior CORRECTNESS_r{N}.json (pytest
+        #    oracle sweep still covers these every round)
+        if n == "sessionize":
+            return 0
+        if n in defer:
+            return 3
+        if n not in green:
+            return 1 if n in entryflow.ORACLES else 2
+        return 4
+
+    ordered = sorted(qs, key=lambda n: (bucket(n), list(qs).index(n)))
+    return {n: qs[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

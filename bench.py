@@ -88,17 +88,41 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0) + failed_elapsed, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "full_query_sweep_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query timings go to a sidecar the driver's end-of-round
+    # commit picks up, so round-over-round regression diffing stays
+    # mechanical even though the printed line is bounded.
+    detail = {
+        "metric": "full_query_sweep_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The driver captures only the last 2000 chars of stdout and parses
+    # the JSON line from that tail; 90+ query names overflow it. Emit the
+    # slowest queries first and stop below a safe budget — the sidecar
+    # holds the rest.
+    line_obj = {
+        "metric": "full_query_sweep_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf_val,
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        line_obj["queries"][name] = timings[name]
+        if len(json.dumps(line_obj, separators=(",", ":"))) > 1800:
+            del line_obj["queries"][name]
+            break
+    print(json.dumps(line_obj, separators=(",", ":")))
     spark.stop()
 
 

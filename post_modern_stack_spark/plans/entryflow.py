@@ -21,10 +21,69 @@ ORACLES: dict[str, str] = {}
 
 # Oracle-paired queries to list AFTER the driver's bounded correctness
 # window when the window is full. Only near-duplicates of another
-# in-window shape belong here (brand_revenue ≈ regional_revenue's
-# broadcast-dim star join); deferred queries stay oracle-paired and are
-# verified by the pytest oracle sweep instead.
-DEFER_FROM_WINDOW: tuple[str, ...] = ("brand_revenue",)
+# in-window shape belong here; deferred queries stay oracle-paired and
+# are verified by the pytest oracle sweep instead.
+DEFER_FROM_WINDOW: tuple[str, ...] = ()
+
+# Queries with a green row in CORRECTNESS_r01.json (driver-verified in
+# round 1). The driver checks a bounded window of ~50 queries per round,
+# so queries() lists never-driver-checked entries FIRST — across rounds
+# the union of CORRECTNESS_r{N}.json rows then covers the whole catalog
+# (VERDICT.md round-1 "Next round" item 1).
+DRIVER_GREEN: frozenset[str] = frozenset(
+    {
+        "sessionize",
+        "latest_event_per_user",
+        "events_exploded",
+        "user_daily_value",
+        "user_running_value",
+        "split_assign",
+        "session_xy",
+        "session_stats",
+        "session_quality",
+        "encode_sessions",
+        "gap_sessionize",
+        "variant_extract",
+        "value_stats_by_type",
+        "user_event_type_pivot",
+        "hit_rate_popularity",
+        "time_bucket_rollup",
+        "negative_samples",
+        "props_from_json",
+        "json_roundtrip",
+        "top_value_dims",
+        "sessions_with_target_items",
+        "user_type_value_map",
+        "viewed_vs_purchased_items",
+        "media_inventory",
+        "media_dedup_groups",
+        "pricing_summary",
+        "top_customers",
+        "regional_revenue",
+        "order_priority_count",
+        "shipping_priority",
+        "returned_items_by_nation",
+        "customer_order_gaps",
+        "order_priority_exists",
+        "customers_without_orders",
+        "priority_shipmode_counts",
+        "promo_revenue_ratio",
+        "small_quantity_orders",
+        "revenue_rollup",
+        "status_priority_cube",
+        "orders_vs_lineitem_custkeys",
+        "supplier_balance_rank",
+        "nation_volume_shipping",
+        "large_volume_customers",
+        "min_cost_supplier",
+        "part_value_share",
+        "top_revenue_supplier",
+        "brand_supplier_counts",
+        "heavy_part_suppliers",
+        "sole_latest_shipper",
+        "rich_idle_customers",
+    }
+)
 
 
 def query(name: str, oracle: str | None = None):

@@ -56,13 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
+        orig_cols = df.columns  # 'ts' keeps its original slot in both paths
         if ts_type == "bigint":
             df = (
                 df.withColumnRenamed("ts", "ts_ns")
                 .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
                 .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
             )
-        else:
+        elif ts_type in ("timestamp", "timestamp_ntz"):
             if ts_type == "timestamp_ntz":
                 # isAdjustedToUTC=false parquet stamps; session tz is
                 # pinned to UTC so the NTZ wall clock IS the UTC instant.
@@ -70,6 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000")).withColumn(
                 "ts_ms", F.expr("unix_micros(ts) DIV 1000")
             )
+        else:
+            # Fail loudly instead of letting unix_micros() raise a cryptic
+            # AnalysisException downstream (ADVICE.md round 1).
+            raise TypeError(
+                f"events.ts has unsupported type {ts_type!r}; expected "
+                "bigint epoch-ns, timestamp, or timestamp_ntz"
+            )
+        # Fixed-order schema regardless of which physical variant shipped,
+        # so positional consumers (union-by-position, schema snapshots)
+        # see one schema (ADVICE.md round 1).
+        df = df.select(*orig_cols, "ts_ns", "ts_ms")
     return df
 
 
