@@ -346,11 +346,14 @@ def simhash_near_dups(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
-# (semantic-plan hash, id_col, vec_col) → Broadcast of (ids, mat, norms).
-# Bounded memo: repeated calls on the same logical corpus (bench best-of
-# re-runs, plan-only explain paths after a prior run) reuse one collect
-# + one broadcast instead of re-collecting and leaking broadcasts.
-# Eviction unpersists, so at most _CORPUS_MEMO_MAX broadcasts are live.
+# (session id, semantic-plan hash, id_col, vec_col) → Broadcast of
+# (ids, mat, norms). Bounded memo: repeated calls on the same logical
+# corpus (bench best-of re-runs, plan-only explain paths after a prior
+# run) reuse one collect + one broadcast instead of re-collecting and
+# leaking broadcasts. Keyed by SparkSession identity so a cached
+# broadcast can never outlive its owning session and get replayed into
+# a restarted one (ADVICE round 1). Eviction unpersists, so at most
+# _CORPUS_MEMO_MAX broadcasts are live.
 _corpus_memo: "OrderedDict" = None  # initialized lazily below
 _CORPUS_MEMO_MAX = 4
 
@@ -362,7 +365,15 @@ def _corpus_broadcast(embeddings: DataFrame, id_col: str, vec_col: str):
     global _corpus_memo
     if _corpus_memo is None:
         _corpus_memo = OrderedDict()
-    key = (embeddings.select(id_col, vec_col).semanticHash(), id_col, vec_col)
+    key = (
+        # applicationId is unique per SparkContext lifetime — unlike
+        # id(session), it can't alias a new session after the old one is
+        # garbage-collected.
+        embeddings.sparkSession.sparkContext.applicationId,
+        embeddings.select(id_col, vec_col).semanticHash(),
+        id_col,
+        vec_col,
+    )
     bc = _corpus_memo.pop(key, None)
     if bc is None:
         b_rows = embeddings.select(id_col, vec_col).collect()

@@ -87,7 +87,42 @@ def rp_bucket(vec_col: str | F.Column, dim: int, bits: int = 8, seed: int = 42) 
     return bucket
 
 
-def _all_table_buckets_udf(dim: int, bits: int, n_tables: int, seed: int = 42):
+def _round_half_away(x):
+    """round-half-away-from-zero, matching Spark ``F.round`` and DuckDB
+    ``round`` (numpy's own ``round`` is half-to-even and would diverge
+    at exact .5 quantization boundaries)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def quantized_planes(
+    dim: int, bits: int, n_tables: int, seed: int = 42, scale: int = 1000
+) -> list[list[list[int]]]:
+    """Integer-quantized hyperplanes, shape [n_tables][bits][dim].
+
+    Quantizing both the planes and the vectors to ``round(x*scale)``
+    integers makes the bucket dot products EXACT integer arithmetic —
+    order-independent and bit-identical across engines (numpy int64
+    matmul vs DuckDB double sums of integer-valued terms, both exact
+    below 2^53) — so a fixed-seed LSH run gets a replayable DuckDB
+    oracle (VERDICT round-1 item 3)."""
+    return [
+        [
+            [int(_round_half_away(w * scale)) for w in plane]
+            for plane in _hyperplanes(dim, bits, seed + 1000 * t)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _all_table_buckets_udf(
+    dim: int,
+    bits: int,
+    n_tables: int,
+    seed: int = 42,
+    quantize_scale: int | None = None,
+):
     """Arrow-vectorized bucket computation for every LSH table at once:
     one (batch × dim) @ (dim × bits·tables) matmul per record batch.
 
@@ -97,22 +132,38 @@ def _all_table_buckets_udf(dim: int, bits: int, n_tables: int, seed: int = 42):
     sf0.1. Hyperplanes are seeded identically to ``rp_bucket``
     (seed + 1000·table), so both paths bucket identically up to
     float-summation-order sign flips at exact zero.
+
+    With ``quantize_scale`` set, vectors and planes are quantized to
+    ``round(x*scale)`` int64 and the matmul is exact integer math —
+    deterministic across engines (see :func:`quantized_planes`).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(
-        [
-            row
-            for t in range(n_tables)
-            for row in _hyperplanes(dim, bits, seed + 1000 * t)
-        ]
-    ).T  # (dim, bits*n_tables)
+    if quantize_scale is not None:
+        planes = np.array(
+            [
+                row
+                for t in quantized_planes(dim, bits, n_tables, seed, quantize_scale)
+                for row in t
+            ],
+            dtype=np.int64,
+        ).T  # (dim, bits*n_tables)
+    else:
+        planes = np.array(
+            [
+                row
+                for t in range(n_tables)
+                for row in _hyperplanes(dim, bits, seed + 1000 * t)
+            ]
+        ).T  # (dim, bits*n_tables)
     weights = np.tile(1 << np.arange(bits), n_tables)  # per-bit bucket weights
 
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        if quantize_scale is not None:
+            mat = _round_half_away(mat * quantize_scale).astype(np.int64)
         signs = (mat @ planes) > 0  # (n, bits*n_tables)
         contrib = signs * weights
         out = contrib.reshape(len(mat), n_tables, bits).sum(axis=2).astype("int32")
@@ -232,6 +283,7 @@ def rp_lsh_top_k(
     dim: int = 64,
     bits: int = 8,
     n_tables: int = 4,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Approximate top-K: multi-table LSH. Each of ``n_tables`` hash
     tables buckets on ``bits`` hyperplane signs (independent seeds);
@@ -243,8 +295,13 @@ def rp_lsh_top_k(
     bucket join replaces the O(|Q|·|C|) cross product with
     O(Σ collisions); buckets skew when vectors cluster — AQE skew-join
     covers moderate skew, cap-and-spill hot buckets upstream at 100 TB.
+
+    ``quantize_scale`` switches bucketing to exact integer math so the
+    whole run is engine-replayable (oracle-checkable); bucket geometry
+    shifts by at most the quantization error (~1/scale), which recall
+    tests don't notice at scale=1000.
     """
-    buckets_udf = _all_table_buckets_udf(dim, bits, n_tables)
+    buckets_udf = _all_table_buckets_udf(dim, bits, n_tables, quantize_scale=quantize_scale)
 
     def with_buckets(df: DataFrame, idc: str, out_id: str, vec_out: str) -> DataFrame:
         # posexplode directly over the UDF output: the generator keeps

@@ -83,6 +83,27 @@ def test_embedding_near_dups_exact_and_lsh_recall(spark):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_corpus_broadcast_memo_is_session_scoped(spark):
+    """The exact-GEMM corpus memo reuses one broadcast for repeated calls
+    on the same logical corpus WITHIN a session, and its cache key carries
+    the session's applicationId so a broadcast can never be replayed into
+    a different/restarted session (ADVICE round 1)."""
+    from post_modern_stack_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    bc1 = dedup._corpus_broadcast(emb, "vec_id", "embedding")
+    bc2 = dedup._corpus_broadcast(emb, "vec_id", "embedding")
+    assert bc1 is bc2  # same session + same plan → memo hit, no re-collect
+    # every memo key is scoped to THIS context's applicationId, so an
+    # entry from a stopped context can never satisfy a lookup from a new
+    # one (a restarted context gets a fresh applicationId)
+    app_id = spark.sparkContext.applicationId
+    assert any(v is bc1 for v in dedup._corpus_memo.values())
+    assert all(k[0] == app_id for k in dedup._corpus_memo)
+
+
 def test_jaccard_prefix_filter_matches_plain_and_prunes(spark):
     """PPJoin prefix filtering: identical result set to the all-token
     join at the same threshold, with strictly fewer candidate pairs."""

@@ -42,7 +42,52 @@ def test_csv_roundtrip_quote_all_gzip(spark, tmp_path):
     # gzip applied (H2)
     import glob
 
-    assert glob.glob(path + "/*.csv.gz")
+    gz_files = glob.glob(path + "/*.csv.gz")
+    assert gz_files
+    # quoteAll (H1): every field in the raw file is double-quoted, matching
+    # the reference's csv.QUOTE_ALL writer (upload_to_snowflake.py:158-176)
+    import gzip
+
+    for f in gz_files:
+        with gzip.open(f, "rt") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                assert line.startswith('"') and line.endswith('"'), line
+
+
+def test_ingest_max_sessions_cap(spark, tmp_path):
+    """H7: MAX_SESSIONS truncation — only the first N session rows are
+    exploded and loaded (reference upload_to_snowflake.py:152-165 caps
+    the session iterator at MAX_SESSIONS)."""
+    sessions = spark.createDataFrame(
+        [
+            Row(
+                events=[
+                    Row(
+                        event_type="event_product",
+                        hashed_url=f"u{i}-{j}",
+                        product_action="detail",
+                        product_sku=f"sku{i}",
+                        server_timestamp_epoch_ms="1547528000000",
+                        session_id=f"s{i}",
+                    )
+                    for j in range(3)
+                ]
+            )
+            for i in range(10)
+        ]
+    ).coalesce(1)
+    out = str(tmp_path / "capped")
+    ingest.ingest_events(sessions, out, "tenant-cap", max_sessions=4)
+    raw = ingest.read_raw_events(spark, out)
+    # 4 sessions x 3 events each — the cap applies to SESSIONS, not rows
+    assert raw.count() == 12
+    # uncapped control
+    out2 = str(tmp_path / "uncapped")
+    ingest.ingest_events(sessions, out2, "tenant-cap")
+    assert ingest.read_raw_events(spark, out2).count() == 30
 
 
 def test_ingest_partitioned_by_tenant(spark, tmp_path):
