@@ -154,3 +154,40 @@ def chunked_running_sum(
         .withColumn(out_col, F.col("_intra") + F.col("_offset"))
         .drop("_chunk", "_intra", "_offset")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) left side, REPLICATE the
+    right side across all salt buckets, join on (key, salt).
+
+    A hot join key (one mega-tenant, one null-ish sentinel) serializes
+    a plain shuffle join onto one reducer; salting spreads the hot
+    key's rows over ``buckets`` tasks at the cost of ``buckets``×
+    duplication of the RIGHT side — so this is for skewed-fact ⋈
+    modest-dimension joins where the dimension is too big to broadcast
+    outright but fine to replicate sharded. For fact ⋈ fact skew,
+    prefer AQE's runtime skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, on in session.py); this
+    operator covers the planner-visible case AQE can't touch (e.g. a
+    skewed LEFT OUTER where the hot key's matches must co-locate).
+
+    ``on`` must name a column present in BOTH inputs (rename upstream
+    for asymmetric keys); result column set matches a plain
+    ``left.join(right, on, how)``.
+    """
+    if how.replace("outer", "").strip("_") in ("right", "full"):
+        # right/full outer would emit each unmatched RIGHT row once per
+        # salt bucket — replication breaks those semantics
+        raise ValueError(f"salted_join does not support how={how!r}")
+    sl = with_salt(left, buckets, "_salt")
+    rep = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(buckets)])),
+    )
+    return sl.join(rep, on=[on, "_salt"], how=how).drop("_salt")

@@ -157,3 +157,98 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .bitwiseXOR(F.xxhash64(t)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 30,
+    stride: int = 20,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window prep step of LLM training pipelines (chunk size =
+    model context budget, stride < size for overlap).
+
+    Pure generator expressions: tokens → start offsets via
+    ``sequence(0, n-1, stride)`` → posexplode → ``slice`` per window.
+    No shuffle at all — chunking is embarrassingly row-parallel, and
+    output partitioning inherits the input's, so a downstream
+    per-chunk op (embedding, dedup) starts from the same layout.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# deliberately simple ASCII patterns — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), so redaction is oracle-replayable
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (training-data hygiene): mask email/phone patterns,
+    reporting per-document match counts. Expression-only (regexp_count /
+    regexp_replace), codegen-covered, zero Python in the row path.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: (corpus doc, benchmark doc) pairs
+    sharing ≥1 token n-gram — the decontamination pass run before
+    training on scraped corpora (n=8..13 in published pipelines; 5 here
+    for the tiny synthetic vocabulary).
+
+    Scale shape: each side explodes to DISTINCT per-doc n-grams (the
+    distinct bounds a hot n-gram's fan-out at doc grain), the join key
+    is the n-gram string, and the benchmark side — always the small
+    side in practice — broadcasts. Count of shared n-grams per pair
+    comes from the join's group-by, no second scan.
+    """
+
+    def doc_ngrams(df: DataFrame, id_alias: str) -> DataFrame:
+        toks = F.split(F.col(text_col), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return (
+            df.filter(F.size(toks) >= n)
+            .select(F.col("doc_id").alias(id_alias), F.explode(grams).alias("ngram"))
+            .distinct()
+        )
+
+    c = doc_ngrams(corpus, "corpus_doc_id")
+    b = doc_ngrams(benchmark, "benchmark_doc_id")
+    return (
+        c.join(F.broadcast(b), "ngram")
+        .groupBy("corpus_doc_id", "benchmark_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

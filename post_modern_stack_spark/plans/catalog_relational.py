@@ -1257,3 +1257,238 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    predicate-pushdown benchmark. All three filters reach the parquet
+    scan as PushedFilters (range on l_shipdate prunes row groups via
+    min/max stats); the single-row aggregate is one partial+final pass,
+    no wide shuffle. Reference parity: pure-SQL revenue aggregates in
+    the dbt layer (reference src/dbt/models sources)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN s_nation = 'NATION_4' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS s_nation
+      FROM lineitem l
+      JOIN orders   o  ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c  ON c.c_custkey   = o.o_custkey
+      JOIN nation   nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region   r  ON r.r_regionkey  = nc.n_regionkey
+      JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
+      JOIN nation   ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional order
+    volume per year — a 7-table star with conditional aggregation.
+
+    Spark-first: lineitem⋈orders is the only fact-fact shuffle;
+    customer joins shuffle on custkey; every dimension (nation ×2,
+    region, supplier) broadcasts, so the region filter prunes BEFORE
+    the big join via the broadcast hash table. The share is computed
+    with sum(CASE)/sum — one aggregation pass, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == nc.c_nkey)
+        .join(F.broadcast(r), nc.c_rkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.s_nkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "s_nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_4", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT ns.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part     p  ON p.p_partkey    = l.l_partkey
+      JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
+      JOIN nation   ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders   o  ON o.o_orderkey   = l.l_orderkey
+      WHERE p.p_type = 'PROMO'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: per-(supplier-nation, year) profit on a
+    product line. The testdata carries no partsupp table, so
+    ps_supplycost is replaced by p_retailprice * quantity as the cost
+    term — same plan shape (4-way star on the fact, two fact-grain
+    joins, grouped agg), different constant semantics.
+
+    part is filtered to ~1/6 of rows BEFORE the broadcast, shrinking
+    both the broadcast and (via the join) the fact rows that survive
+    into the orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.s_nkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined.select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month
+      FROM orders
+    ),
+    f AS (
+      SELECT o_custkey, min(order_month) AS cohort_month
+      FROM m GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           m.order_month,
+           count(DISTINCT m.o_custkey) AS n_active
+    FROM m JOIN f USING (o_custkey)
+    GROUP BY f.cohort_month, m.order_month
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: customers cohorted by first-order month,
+    counted distinct per (cohort, activity month) — the standard
+    product-analytics rollup the reference's Snowflake users run on the
+    session tables (SURVEY.md §2 A8/A9 composition).
+
+    Spark-first: the cohort derivation is a min() window over the
+    already-shuffled custkey grain — NOT a separate groupBy+join, so
+    the fact shuffles once on o_custkey and the (cohort, month) agg
+    reuses tiny month-grain rows. count(DISTINCT) is fine here because
+    the distinct key (custkey) is the partition key of the first
+    shuffle — no second expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    )
+    w = Window.partitionBy("o_custkey")
+    cohorts = m.withColumn("cohort_month", F.min("order_month").over(w))
+    return cohorts.groupBy("cohort_month", "order_month").agg(
+        F.count_distinct("o_custkey").alias("n_active")
+    )
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation surface (SURVEY §7 watch-list 6): the
+    lineitem⋈orders revenue rollup executed through
+    ``skew.salted_join`` — the oracle is the PLAIN join, proving the
+    salted plan is semantics-preserving. 8 buckets spread any hot
+    orderkey over 8 reducers while replicating the orders projection
+    8×; the follow-on agg is salted-safe because sum/count are
+    algebraic."""
+    from post_modern_stack_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, on="l_orderkey", buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

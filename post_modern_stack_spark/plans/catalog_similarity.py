@@ -279,3 +279,39 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups(emb, threshold=0.4, candidates="exact")
+
+
+@query(
+    "embedding_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, maxabs,
+             list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS INT))
+               AS codes
+      FROM m
+    )
+    SELECT vec_id,
+           round(maxabs, 6) AS scale_maxabs,
+           array_to_string(codes, ' ') AS codes,
+           round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - codes[i] * maxabs / 127.0)
+                      * (v[i] - codes[i] * maxabs / 127.0)))), 6)
+             AS recon_l2_err
+    FROM q
+    """,
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] int8 vector quantization for ANN storage (4× cut):
+    per-vector symmetric scale, half-away rounding on both engines, so
+    the codes are hash-identical (operators/similarity.quantize_int8)."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))

@@ -395,3 +395,119 @@ def q_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("source_a", "source_b"))
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // 20 AS chunk_idx,
+           len(list_slice(toks, start + 1, start + 30)) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 30), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] context-window chunking: overlapping 30-token windows at
+    stride 20 — shuffle-free generator expressions (see
+    operators/textstats.chunk_documents)."""
+    out = textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=30, stride=20
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.com call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted_text
+    FROM aug
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII scrubbing over documents. The synthetic corpus carries
+    no organic PII, so a deterministic email+phone suffix is injected
+    on 2/3 of the docs IN-QUERY (same expression on the oracle side) —
+    the redaction/count operator itself (operators/textstats.redact_pii)
+    is the thing under test, and zero-match docs stay exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )
+        ),
+    )
+    out = textstats.redact_pii(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "redacted_text",
+    )
+
+
+@query(
+    "contamination_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 5), ' ') AS ngram
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM toks)
+    )
+    SELECT c.doc_id AS corpus_doc_id,
+           b.doc_id AS benchmark_doc_id,
+           count(*) AS n_shared_ngrams
+    FROM (SELECT * FROM g WHERE doc_id % 10 != 0) c
+    JOIN (SELECT * FROM g WHERE doc_id % 10 = 0) b USING (ngram)
+    GROUP BY corpus_doc_id, benchmark_doc_id
+    """,
+)
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] benchmark decontamination: 5-gram overlap between the
+    held-out tenth of documents (doc_id % 10 == 0) and the rest —
+    per-doc DISTINCT n-grams, benchmark side broadcast (see
+    operators/textstats.contamination_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return textstats.contamination_pairs(corpus, bench, n=5)

@@ -287,3 +287,36 @@ def test_chunked_running_sum_property_random_timelines():
             assert abs(got[key] - val) < 1e-6, key
 
     prop()
+
+
+def test_salted_join_parity_with_plain_join(spark):
+    """salted_join == plain join for inner and left_outer, including a
+    hot key (80% of left rows) and left rows with no match."""
+    import random
+
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators.skew import salted_join
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [
+            Row(k=0 if rng.random() < 0.8 else rng.randrange(1, 30), lv=i)
+            for i in range(500)
+        ]
+    )
+    # keys 0..19 matched (key 0 hot, multiple right rows); 20+ unmatched
+    right = spark.createDataFrame(
+        [Row(k=i % 20, rv=100 + i) for i in range(40)]
+    )
+    for how in ("inner", "left_outer"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", buckets=4, how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, f"salted_join diverges for how={how}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right_outer")
