@@ -1492,3 +1492,55 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+             0 AS seq, 'U' AS op
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) + 10.0 AS price,
+             1 AS seq,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC, op ASC) AS rn
+      FROM u
+    )
+    SELECT o_orderkey, o_orderstatus, price
+    FROM r WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics without a table format: a change feed
+    (a flat re-price on every third order, deletes every ninth) applied
+    to the orders snapshot via operators/cdc.apply_cdc — latest-wins
+    per key in ONE window pass, replacing the reference's destructive
+    full reload (upload_to_snowflake.py:152-207). The oracle restates
+    the union + row_number plan in SQL."""
+    from post_modern_stack_spark.operators.cdc import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit(0).alias("seq"),
+    )
+    chg = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round("o_totalprice", 2) + 10.0).alias("price"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return apply_cdc(snap, chg, ["o_orderkey"], "seq").select(
+        "o_orderkey", "o_orderstatus", "price"
+    )

@@ -168,3 +168,48 @@ def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views_1h",
         "sum_view_value",
     )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS seq, event_id FROM events
+    ),
+    l AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY seq, event_id) AS prev
+      FROM e
+    ),
+    fl AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev != event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM l
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY seq, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM fl
+    ),
+    runs AS (
+      SELECT user_id, run, min(event_type) AS event_type,
+             min(seq) AS valid_from, count(*) AS n_events
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 reconstruction (operators/cdc.scd2_intervals): each
+    user's event_type runs collapsed to validity intervals
+    [valid_from, valid_to) in ns — gaps-and-islands with one exchange
+    (all three window passes share the user_id partitioning)."""
+    from post_modern_stack_spark.operators.cdc import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, ["user_id"], "event_type", "ts_ns", ["event_id"])
+    return out.select("user_id", "event_type", "valid_from", "valid_to", "n_events")

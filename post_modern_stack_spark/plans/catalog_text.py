@@ -511,3 +511,125 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return textstats.contamination_pairs(corpus, bench, n=5)
+
+
+@query(
+    "repetition_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(0, len(t) - 1),
+                            i -> t[i + 1] || ' ' || t[i + 2]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 2)
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+             AS repetition
+    FROM g
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] repetition/boilerplate scoring (Gopher-style rule): share
+    of duplicated bigrams within each document — all per-row array
+    math, shuffle-free. High scores mark template/boilerplate docs for
+    the quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    staged = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("grams"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 6
+        ).alias("repetition"),
+    )
+
+
+@query(
+    "mixing_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(n_docs::DOUBLE / total, 6) AS actual_frac,
+           round((1.0 / n_sources) / (n_docs::DOUBLE / total), 6) AS weight
+    FROM s, t
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus mixing weights: per-source doc/token counts and the
+    sampling weight that equalizes source shares (uniform target) —
+    the rebalancing pass before training-data sampling. One shuffle on
+    the tiny source key; the totals row broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_frac"),
+        F.round(
+            (1.0 / F.col("n_sources")) / (F.col("n_docs") / F.col("total")), 6
+        ).alias("weight"),
+    )
+
+
+@query(
+    "token_budget_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token-budget selection: greedy longest-first running total
+    over doc-grain metadata, cut at a 20k-token budget. The global
+    ordered window runs single-partition BY DESIGN — it operates on
+    the doc-grain metadata projection (two longs per doc), ~KB even at
+    100 TB of text; if the metadata itself were huge, the chunked
+    prefix-sum (operators/skew.chunked_running_sum) is the scale
+    path."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+    )

@@ -154,3 +154,53 @@ def test_interval_join_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_apply_cdc_update_delete_insert_and_tie(spark):
+    """apply_cdc: update wins over snapshot, delete removes, new key
+    inserts, and a same-sequence delete+update tie resolves to delete."""
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame(
+        [Row(k=1, v="a", seq=0), Row(k=2, v="b", seq=0), Row(k=3, v="c", seq=0)]
+    )
+    chg = spark.createDataFrame(
+        [
+            Row(k=1, v="a2", seq=5, op="U"),   # update
+            Row(k=2, v=None, seq=5, op="D"),   # delete
+            Row(k=4, v="d", seq=5, op="U"),    # insert (new key)
+            Row(k=3, v="c2", seq=7, op="U"),   # same-seq tie with delete
+            Row(k=3, v=None, seq=7, op="D"),
+        ]
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(snap, chg, ["k"], "seq").collect()}
+    assert got == {1: "a2", 4: "d"}  # 2 deleted, 3's tie -> delete wins
+
+
+def test_scd2_intervals_runs_and_bounds(spark):
+    """scd2_intervals: change runs collapse to [valid_from, valid_to)
+    with NULL valid_to on the open run and per-run event counts."""
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators.cdc import scd2_intervals
+
+    rows = [
+        Row(k=1, attr="x", seq=10, tid=0),
+        Row(k=1, attr="x", seq=20, tid=1),
+        Row(k=1, attr="y", seq=30, tid=2),
+        Row(k=1, attr="x", seq=40, tid=3),  # x again -> NEW run, not merged
+        Row(k=2, attr="z", seq=15, tid=4),
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in scd2_intervals(df, ["k"], "attr", "seq", ["tid"]).collect()
+    )
+    assert got == [
+        (1, "x", 10, 30, 2),
+        (1, "x", 40, None, 1),
+        (1, "y", 30, 40, 1),
+        (2, "z", 15, None, 1),
+    ]
