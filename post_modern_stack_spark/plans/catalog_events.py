@@ -677,3 +677,95 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(candidates, ["user_id"], [F.asc("h"), F.asc("k")], 3).select(
         "user_id", F.col("k").alias("neg_item"), "rank"
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_ns(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_purchased_after
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (view → click-after-view → purchase-after-click):
+    each stage keeps users whose step event strictly follows their
+    previous stage's first occurrence — the sequence-sensitive cousin
+    of the set-algebra funnel (catalog_json sessions shape).
+
+    Scale shape: every stage aggregate collapses to USER grain before
+    the next join, so the two joins carry |users| rows on the build
+    side (broadcastable at any realistic user count), and the fact
+    table is scanned once per stage with the event_type filter pushed
+    to parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@query(
+    "value_trend_by_type",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, hr), 5) AS slope,
+           round(regr_intercept(value, hr), 5) AS intercept,
+           count(*) AS n_events
+    FROM (
+      SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS hr FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (distributed closed-form regression): slope/
+    intercept of event value vs hour-of-day per event type, via the
+    SQL-standard regr_* aggregates — algebraic, so partial aggregation
+    applies and the shuffle carries 5 groups × 6 moments, nothing
+    row-grain. The grouped-model-fitting shape without any Python."""
+    ev = load_table(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_type", "value", F.hour("ts").cast("double").alias("hr")
+    )
+    return prepped.groupBy("event_type").agg(
+        F.round(F.expr("regr_slope(value, hr)"), 5).alias("slope"),
+        F.round(F.expr("regr_intercept(value, hr)"), 5).alias("intercept"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

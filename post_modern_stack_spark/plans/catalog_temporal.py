@@ -197,8 +197,8 @@ def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY user_id, run
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+           coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from), -1) AS valid_to,
            n_events
     FROM runs
     """,
@@ -212,4 +212,13 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     out = scd2_intervals(ev, ["user_id"], "event_type", "ts_ns", ["event_id"])
-    return out.select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+    # open runs emit valid_to = -1 (not NULL): a NULL in a numeric
+    # column round-trips as NaN through pandas and NaN != NaN in
+    # engine-comparison hashers — the operator itself keeps NULL
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
+        "n_events",
+    )

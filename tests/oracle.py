@@ -59,7 +59,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         g, w = got[c].tolist(), want[c].tolist()
         for i, (a, b) in enumerate(zip(g, w)):
             if isinstance(a, float) and isinstance(b, float):
-                ok = math.isclose(a, b, rel_tol=FLOAT_TOL, abs_tol=FLOAT_TOL)
+                # NULLs in numeric columns round-trip as NaN through
+                # pandas (None re-coerces to NaN in float64 columns, so
+                # _canon can't normalize them away) — NaN on BOTH sides
+                # is a match, not a mismatch
+                ok = (math.isnan(a) and math.isnan(b)) or math.isclose(
+                    a, b, rel_tol=FLOAT_TOL, abs_tol=FLOAT_TOL
+                )
             else:
                 ok = repr(a) == repr(b)
             assert ok, f"value mismatch col={c} row={i}: spark={a!r} oracle={b!r}"
