@@ -3,12 +3,12 @@
 ``mapInPandas`` UDFs.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-metadata propagation — is real and tested; the codec calls themselves
-(image decode, audio resample, frame extraction) are STUBBED behind
-``_decode_*`` hooks because media libraries are not available in this
-container. Each stub is deterministic so tests can assert the full
-pipeline shape, and raises ``NotImplementedError`` when
-``require_real_codecs=True``.
+metadata propagation — is real and tested. Codec status: uncompressed
+container formats decode FOR REAL in pure numpy (24-bit BMP, PCM-16
+WAV, P6 PPM — parser + pixel/sample math below, round-trip-tested);
+compressed codecs (JPEG/PNG/MP3/MP4) need external libraries absent
+from this container and stay stubbed — deterministic digest fake by
+default, ``NotImplementedError`` when ``require_real_codecs=True``.
 
 Design for 100 TB: media bytes ride in parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
@@ -52,17 +52,199 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_bmp(content: bytes):
+    """REAL decoder for uncompressed 24-bit BMP (pure numpy — no
+    external media libs): parses BITMAPFILEHEADER + BITMAPINFOHEADER,
+    handles 4-byte row padding and bottom-up row order. Returns
+    (h, w, 3) uint8 in RGB order."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24bpp uncompressed BMP (got bpp={bpp})")
+    row_bytes = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(content, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR (file order) → RGB
+
+
+def encode_bmp(img) -> bytes:
+    """Inverse of :func:`decode_bmp` (test fixture + sink side)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    raw = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0
+    )
+    return header + raw
+
+
+def decode_wav(content: bytes):
+    """REAL decoder for PCM-16 WAV (pure numpy): walks RIFF chunks,
+    returns (float64 samples in [-1, 1] shaped (n, channels), rate)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV stream")
+    pos, rate, n_ch, bits = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", content, pos + 8)
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(f"only PCM-16 WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            raw = np.frombuffer(content, dtype="<i2", count=size // 2, offset=pos + 8)
+            return raw.reshape(-1, n_ch).astype(np.float64) / 32768.0, rate
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV stream has no data chunk")
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (test fixture + sink side)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(arr * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    n_ch = arr.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(pcm), b"WAVE")
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_ppm(content: bytes):
+    """REAL decoder for binary PPM (P6), pure numpy."""
+    import numpy as np
+
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM")
+    return (
+        np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def image_features(img) -> list[float]:
+    """Deterministic FEATURE_DIM vector from a decoded (h, w, 3) image:
+    shape, per-channel mean/std (normalized), and a 2×3 luma grid —
+    the classic cheap visual descriptor."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    f = np.asarray(img, dtype=np.float64) / 255.0
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    gh, gw = max(h // 2, 1), max(w // 3, 1)
+    grid = [
+        float(luma[r * gh : (r + 1) * gh if r < 1 else h,
+                    c * gw : (c + 1) * gw if c < 2 else w].mean())
+        for r in range(2)
+        for c in range(3)
+    ]
+    feats = [
+        float(h),
+        float(w),
+        *[float(f[..., c].mean()) for c in range(3)],
+        *[float(f[..., c].std()) for c in range(3)],
+        *grid,
+    ]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def audio_features(samples, rate: int) -> list[float]:
+    """Deterministic FEATURE_DIM vector from decoded PCM: duration,
+    rate, mean/std/RMS, zero-crossing rate, and an 8-bin magnitude
+    spectrum (numpy rFFT)."""
+    import numpy as np
+
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    n = len(mono)
+    zcr = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / max(
+        n - 1, 1
+    )
+    spec = np.abs(np.fft.rfft(mono))
+    bins = np.array_split(spec, 8)
+    spec8 = [float(b.mean()) if len(b) else 0.0 for b in bins]
+    total = sum(spec8) or 1.0
+    feats = [
+        n / float(rate),
+        float(rate) / 48000.0,
+        float(mono.mean()),
+        float(mono.std()),
+        float(np.sqrt((mono**2).mean())),
+        zcr,
+        *[s / total for s in spec8],
+    ]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 def _decode_and_featurize(content: bytes, kind: str, require_real_codecs: bool):
-    """STUB codec hook. Real implementation would dispatch to
-    PIL/libvips (image), soundfile/ffmpeg (audio/video). The
-    deterministic fake derives a FEATURE_DIM vector from the content
-    digest so plumbing tests have stable expectations."""
+    """Codec dispatch by magic bytes. REAL pure-numpy decoders cover
+    the uncompressed container formats (24-bit BMP, PCM-16 WAV, P6
+    PPM); compressed codecs (JPEG/PNG/MP3/MP4) still need external
+    libraries absent from this container and remain stubbed — with
+    ``require_real_codecs=True`` they raise instead of falling back to
+    the deterministic digest fake."""
+    content = content or b""
+    if content[:2] == b"BM":
+        return image_features(decode_bmp(content))
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return audio_features(*decode_wav(content))
+    if content[:2] == b"P6":
+        return image_features(decode_ppm(content))
     if require_real_codecs:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "install image/audio libs and implement _decode_and_featurize"
+            "compressed media codecs (JPEG/PNG/MP3/MP4) are not available "
+            "in this environment; uncompressed BMP/WAV/PPM decode natively"
         )
-    digest = hashlib.sha256(content or b"").digest()
+    digest = hashlib.sha256(content).digest()
     return [
         float(int.from_bytes(digest[2 * i : 2 * i + 2], "big")) / 65535.0
         for i in range(FEATURE_DIM)

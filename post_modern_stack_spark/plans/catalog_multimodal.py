@@ -85,3 +85,59 @@ def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     media = _as_media(load_table(spark, sf_dir, "documents"))
     return multimodal.media_dedup(media).filter(F.col("n_copies") > 1)
+
+
+@query("media_real_features")  # rows-only: BMP byte assembly + FFT math
+def q_media_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with the REAL codec path (no stubs, no external libs):
+    deterministic 4×4 RGB images are assembled per document from its
+    sha256 digest, encoded as genuine 24-bit BMP files, then decoded +
+    featurized by the pure-numpy codec (operators/multimodal.decode_bmp
+    → image_features) under ``require_real_codecs=True``, so any
+    fallback to the digest fake would fail the query. Rows-only: BMP
+    byte assembly isn't SQL-expressible; correctness is pytest-anchored
+    (tests/test_multimodal.py round-trip + parity tests)."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                digest = _hl.sha256(t.encode()).digest() + _hl.sha256(
+                    t.encode() + b"x"
+                ).digest()
+                img = np.frombuffer(digest[:48], dtype=np.uint8).reshape(4, 4, 3)
+                content.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": content,
+                    "mime": "image/bmp",
+                    "width": 4,
+                    "height": 4,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    feats = extract_features(media, require_real_codecs=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_sha",
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 6), 6).alias("std_r"),
+    )

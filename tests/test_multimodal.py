@@ -54,3 +54,69 @@ def test_media_dedup(spark, media):
     d = {r["media_id"]: r["n_copies"] for r in MM.media_dedup(media).collect()}
     assert d[1] == 2  # ids 1+2 collapse, keeping min id
     assert d[3] == 1 and d[4] == 1
+
+
+def test_bmp_wav_ppm_roundtrip_numpy():
+    """Real codec round trips: encode→decode is identity for BMP and
+    PPM pixels and within PCM-16 quantization for WAV samples."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → row padding
+    assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+
+    samples = rng.uniform(-0.9, 0.9, size=(400, 2))
+    dec, rate = mm.decode_wav(mm.encode_wav(samples, 8000))
+    assert rate == 8000 and dec.shape == (400, 2)
+    assert np.abs(dec - samples).max() < 1.0 / 32768 + 1e-9
+
+    ppm = b"P6\n# comment\n7 5\n255\n" + img.tobytes()
+    assert (mm.decode_ppm(ppm) == img).all()
+
+
+def test_extract_features_real_codecs_through_spark(spark):
+    """extract_features with require_real_codecs=True over genuine
+    BMP/WAV bytes: the mapInPandas pipeline decodes for real and the
+    features match a driver-side numpy recomputation."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    wav = np.sin(2 * np.pi * 440 * np.arange(1600) / 8000.0)[:, None] * 0.5
+    rows = [
+        Row(media_id=1, kind="image", content=bytearray(mm.encode_bmp(img)),
+            mime="image/bmp", width=6, height=8, duration_ms=None),
+        Row(media_id=2, kind="audio", content=bytearray(mm.encode_wav(wav, 8000)),
+            mime="audio/wav", width=None, height=None, duration_ms=200),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(media, require_real_codecs=True).collect()
+    }
+    want_img = mm.image_features(img)
+    # expected audio features go through the same PCM-16 quantization
+    # the wire format applies
+    want_wav = mm.audio_features(mm.decode_wav(mm.encode_wav(wav, 8000))[0], 8000)
+    assert np.allclose(got[1], want_img, atol=1e-5)
+    assert np.allclose(got[2], want_wav, atol=1e-5)
+
+    # compressed/unknown formats still refuse loudly in strict mode
+    bad = spark.createDataFrame(
+        [Row(media_id=3, kind="image", content=bytearray(b"\x89PNG\r\n\x1a\n...."),
+             mime="image/png", width=None, height=None, duration_ms=None)],
+        mm.MEDIA_SCHEMA,
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        mm.extract_features(bad, require_real_codecs=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
