@@ -40,3 +40,49 @@ def test_sql_join_over_registered_tables(spark):
         """
     ).collect()[0]
     assert row["n"] == 5  # 25 nations over 5 regions
+
+
+def test_parameterized_sql_extraction(spark):
+    """A12 via Spark 4 parameterized SQL: the tenant/date extraction
+    runs as spark.sql with NAMED BOUND PARAMS (the engine-side binding
+    that replaces the reference's client-side pyformat interpolation,
+    my_dbt_flow.py:240,248-252) and matches the DataFrame plan's rows
+    exactly."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, SF)
+    got = spark.sql(
+        """
+        SELECT user_id,
+               to_date(ts) AS d,
+               round(sum(value), 2) AS total_value,
+               count(*) AS n
+        FROM events
+        WHERE event_type = :etype
+          AND ts >= :start_ts
+          AND ts < :end_ts
+          AND user_id % :tenant_mod = :tenant_id
+        GROUP BY user_id, to_date(ts)
+        """,
+        args={
+            "etype": "purchase",
+            "start_ts": "2024-01-01 00:00:00",
+            "end_ts": "2024-02-01 00:00:00",
+            "tenant_mod": 4,
+            "tenant_id": 1,
+        },
+    )
+    ev = load_table(spark, SF, "events")
+    want = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-02-01 00:00:00").cast("timestamp"))
+            & (F.col("user_id") % 4 == 1)
+        )
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["user_id"], str(r["d"])): (r["total_value"], r["n"]) for r in got.collect()}
+    w = {(r["user_id"], str(r["d"])): (r["total_value"], r["n"]) for r in want.collect()}
+    assert g and g == w
