@@ -310,3 +310,66 @@ def media_dedup(media: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def resize_image(img, out_h: int, out_w: int):
+    """REAL nearest-neighbor resize (pure numpy): index-map sampling,
+    the standard thumbnail path when no interpolation library exists.
+    Deterministic: output pixel (r, c) samples input
+    (floor(r*h/out_h), floor(c*w/out_w))."""
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, out_h: int = 4, out_w: int = 4, require_real_codecs: bool = True
+) -> DataFrame:
+    """Thumbnail pipeline over binary image columns: decode (real codec
+    for BMP/PPM) → nearest-neighbor resize → re-encode BMP. mapInPandas
+    iterator API — record batches stream through, constant memory per
+    task; output is again an opaque binary column, so the op composes
+    with media_dedup / extract_features downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                c = bytes(c or b"")
+                if c[:2] == b"BM":
+                    img = decode_bmp(c)
+                elif c[:2] == b"P6":
+                    img = decode_ppm(c)
+                elif require_real_codecs:
+                    raise NotImplementedError(
+                        "resize_media: only BMP/PPM decode natively in this "
+                        "environment"
+                    )
+                else:
+                    out.append(None)
+                    continue
+                out.append(encode_bmp(resize_image(img, out_h, out_w)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "content": out,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)

@@ -141,3 +141,57 @@ def q_media_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 3), 6).alias("mean_r"),
         F.round(F.element_at("features", 6), 6).alias("std_r"),
     )
+
+
+@query("media_thumbnails")  # rows-only: binary assembly not SQL-expressible
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 resize surface with the REAL codec: the same digest-derived
+    4×4 BMPs as media_real_features, thumbnailed to 2×2 via
+    decode→nearest-neighbor-resize→re-encode (operators/multimodal.
+    resize_media) and fingerprinted — a byte-identical sha2 per input
+    proves the whole decode/resize/encode chain is deterministic
+    through Arrow batching."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                digest = _hl.sha256(t.encode()).digest() + _hl.sha256(
+                    t.encode() + b"x"
+                ).digest()
+                img = np.frombuffer(digest[:48], dtype=np.uint8).reshape(4, 4, 3)
+                content.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": content,
+                    "mime": "image/bmp",
+                    "width": 4,
+                    "height": 4,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    thumbs = resize_media(media, out_h=2, out_w=2)
+    return thumbs.select(
+        "media_id",
+        "out_h",
+        "out_w",
+        F.length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("thumb_sha"),
+    )

@@ -1,6 +1,7 @@
-"""K5 multimodal plumbing tests: binary columns, Arrow-batched decode
-pipeline shape, frame plans, binary dedup. Codecs are stubbed
-(deterministic) — the Spark-side schema/partitioning/batching is real.
+"""K5 multimodal tests: binary columns, Arrow-batched decode pipeline,
+frame plans, binary dedup. BMP/WAV/PPM decode+resize are REAL (pure
+numpy, round-trip-tested below); compressed codecs stay stubbed with a
+deterministic digest fake.
 """
 
 from __future__ import annotations
@@ -120,3 +121,25 @@ def test_extract_features_real_codecs_through_spark(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_resize_media_real_roundtrip(spark):
+    """resize_media: decode→NN-resize→re-encode through Spark; the
+    resized BMP decodes back to exactly the numpy-side index-map
+    sample."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", content=bytearray(mm.encode_bmp(img)),
+             mime="image/bmp", width=7, height=9, duration_ms=None)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.resize_media(media, out_h=4, out_w=3).collect()[0]
+    got = mm.decode_bmp(bytes(row["content"]))
+    assert (got == mm.resize_image(img, 4, 3)).all()
+    assert (row["out_h"], row["out_w"]) == (4, 3)
