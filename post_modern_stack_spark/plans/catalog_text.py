@@ -272,7 +272,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total-ordered (score, lang) in each engine."""
     d = load_table(spark, sf_dir, "documents")
     profiles = textstats.ngram_language_profiles(d.filter(F.col("doc_id") % 10 == 0))
-    return textstats.language_id(d, profiles)
+    # arrow strategy: profile dict rides in the UDF closure — measured
+    # ~2× over the gram-explode broadcast join at sf0.1 (the join path
+    # stays the huge-profile scale option, parity-tested)
+    return textstats.language_id(d, profiles, strategy="arrow")
 
 
 @query("doc_fingerprint")  # rows-only: xxhash64-based, no DuckDB twin

@@ -219,3 +219,25 @@ def test_minhash_bands_divisibility_guard(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
     with pytest.raises(ValueError, match="divide"):
         dedup.minhash_lsh_candidates(df, num_hashes=64, bands=12)
+
+
+def test_language_id_arrow_join_parity(spark):
+    """language_id's two physical strategies (gram-explode broadcast
+    join vs closure-dict Arrow scoring) return identical predictions
+    and rounded scores."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators import textstats
+    from post_modern_stack_spark.registry import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prof = textstats.ngram_language_profiles(d.filter(F.col("doc_id") % 10 == 0))
+    a = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in textstats.language_id(d, prof, strategy="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in textstats.language_id(d, prof, strategy="join").collect()
+    }
+    assert a and a == b
