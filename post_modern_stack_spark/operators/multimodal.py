@@ -373,3 +373,55 @@ def resize_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def resample_audio(samples, in_rate: int, out_rate: int):
+    """REAL linear-interpolation resample (pure numpy): output sample k
+    sits at input position k*in_rate/out_rate, linearly interpolated
+    between neighbors. Channel-preserving."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_in = arr.shape[0]
+    n_out = max(int(round(n_in * out_rate / in_rate)), 1)
+    pos = np.arange(n_out) * (in_rate / out_rate)
+    lo = np.minimum(pos.astype(np.int64), n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo)[:, None]
+    return arr[lo] * (1.0 - frac) + arr[hi] * frac
+
+
+def resample_media(
+    media: DataFrame, out_rate: int = 8000, require_real_codecs: bool = True
+) -> DataFrame:
+    """Audio-rate normalization over binary WAV columns: decode (real
+    PCM-16 codec) → linear resample → re-encode at ``out_rate``.
+    Same streaming mapInPandas contract as resize_media; output is
+    binary, so it composes with media_dedup / extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                c = bytes(c or b"")
+                if c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+                    samples, rate = decode_wav(c)
+                    out.append(encode_wav(resample_audio(samples, rate, out_rate), out_rate))
+                elif require_real_codecs:
+                    raise NotImplementedError(
+                        "resample_media: only PCM-16 WAV decodes natively"
+                    )
+                else:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_h": out_rate,  # rate rides in the out_h slot
+                    "out_w": 0,
+                    "content": out,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)

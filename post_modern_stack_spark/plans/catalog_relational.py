@@ -1544,3 +1544,78 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(snap, chg, ["o_orderkey"], "seq").select(
         "o_orderkey", "o_orderstatus", "price"
     )
+
+
+@query(
+    "custkey_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS op,
+           count(*) AS n_rows,
+           count(DISTINCT k) AS n_keys
+    FROM (SELECT o_custkey AS k FROM orders
+          EXCEPT ALL
+          SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'intersect_all' AS op,
+           count(*) AS n_rows,
+           count(DISTINCT k) AS n_keys
+    FROM (SELECT o_custkey AS k FROM orders
+          INTERSECT ALL
+          SELECT c_custkey FROM customer)
+    """,
+)
+def q_custkey_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operators — EXCEPT ALL / INTERSECT ALL keep
+    duplicate multiplicity, unlike the distinct-set variants in
+    orders_vs_lineitem_custkeys. Spark's exceptAll/intersectAll plan as
+    a count-difference aggregation + generator replay, one shuffle per
+    operator, no row-by-row anti-join."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("k").alias("n_keys"),
+        ).select("op", "n_rows", "n_keys")
+
+    return agg(o.exceptAll(c), "except_all").unionByName(
+        agg(o.intersectAll(c), "intersect_all")
+    )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           round(o.o_totalprice, 2) AS price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (each
+    customer's two priciest orders) — the SQL-surface twin of the
+    window top-K (supplier_balance_rank). Catalyst decorrelates the
+    lateral into a ranked window join, so the executed plan is the
+    same WindowGroupLimit shape, not a per-customer re-scan; exercised
+    through spark.sql over the registered views to cover the LATERAL
+    parser/decorrelation path."""
+    from post_modern_stack_spark.registry import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               round(o.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

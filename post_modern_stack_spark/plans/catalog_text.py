@@ -636,3 +636,34 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= 20000)
     )
+
+
+@query(
+    "array_hof_profile",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_bool_or(list_transform(toks, x -> len(x) > 6)) AS has_long_token,
+           list_bool_and(list_transform(toks, x -> len(x) < 20)) AS all_tokens_short,
+           len(list_filter(toks, x -> left(x, 1) = 's')) AS n_s_tokens,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars
+    FROM t
+    """,
+)
+def q_array_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end-to-end (exists / forall /
+    filter / aggregate) — the lambda-expression surface Catalyst
+    evaluates without any Python, one shuffle-free projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 6).alias("has_long_token"),
+        F.forall(toks, lambda t: F.length(t) < 20).alias("all_tokens_short"),
+        F.size(F.filter(toks, lambda t: F.substring(t, 1, 1) == "s"))
+        .cast("long")
+        .alias("n_s_tokens"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("long")
+        .alias("total_chars"),
+    )

@@ -284,3 +284,46 @@ def q_daily_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_filled"),
         )
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY epoch_ns(ts), event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(CAST(list_reduce(vals,
+                 (acc, x) -> 0.7 * acc + 0.3 * x) AS DOUBLE), 6) AS ewma_value
+    FROM ordered
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (exponentially weighted moving average) per user — the
+    recursive s_t = 0.7*s_{t-1} + 0.3*x_t cannot be a window frame
+    aggregate (nonlinear in position), so it folds the time-ordered
+    value array: one shuffle to build the per-user ordered array
+    (operators/functions.ordered_collect contract), one JVM-side
+    aggregate() fold, seeded with the first element exactly like
+    DuckDB's list_reduce. Skew note: a mega-user's fold is O(history)
+    in one task — at 100 TB, cap history or chunk with
+    operators/skew.chunked_running_sum-style prefix decomposition."""
+    from post_modern_stack_spark.functions import ordered_collect
+
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        ordered_collect("value", "ts_ns", "event_id").alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1).cast("double"),
+        lambda acc, x: 0.7 * acc + 0.3 * x,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma_value"),
+    )

@@ -143,3 +143,26 @@ def test_resize_media_real_roundtrip(spark):
     got = mm.decode_bmp(bytes(row["content"]))
     assert (got == mm.resize_image(img, 4, 3)).all()
     assert (row["out_h"], row["out_w"]) == (4, 3)
+
+
+def test_resample_audio_real(spark):
+    """resample_media: 16 kHz → 8 kHz through Spark halves the sample
+    count and matches the numpy-side linear interpolation (to PCM-16
+    quantization)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    wav = np.sin(2 * np.pi * 220 * np.arange(3200) / 16000.0)[:, None] * 0.7
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="audio", content=bytearray(mm.encode_wav(wav, 16000)),
+             mime="audio/wav", width=None, height=None, duration_ms=200)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.resample_media(media, out_rate=8000).collect()[0]
+    got, rate = mm.decode_wav(bytes(row["content"]))
+    assert rate == 8000 and got.shape[0] == 1600
+    dec_in, _ = mm.decode_wav(mm.encode_wav(wav, 16000))
+    want = mm.resample_audio(dec_in, 16000, 8000)
+    assert np.abs(got - want).max() < 1.0 / 32768 + 1e-9
