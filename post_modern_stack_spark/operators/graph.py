@@ -1,0 +1,84 @@
+"""Iterative graph algorithms on DataFrames (SURVEY.md §2 K-family
+widened: graph structure over pipeline-derived edges).
+
+``cluster_pairs`` (operators/dedup.py) already covers iterative
+min-label propagation; this module adds the weighted-contribution
+pattern (PageRank) — the other canonical shape for iterative DataFrame
+jobs: join ranks to edges, redistribute, re-aggregate, checkpoint.
+
+Scale posture: each iteration is one join (ranks ⋈ out-degree-annotated
+edges, shuffled on src) + one aggregation (shuffled on dst);
+``localCheckpoint`` truncates lineage every iteration so plan size and
+stage count stay constant over arbitrarily many iterations. The
+dangling-mass correction costs one tiny scalar aggregate per iteration
+(node-grain, not edge-grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """PageRank over an edge list; returns (node, rank), Σrank = 1.
+
+    Deterministic for a fixed iteration count (no convergence
+    threshold — thresholds make results depend on float noise).
+    Dangling nodes (no out-edges) redistribute their mass uniformly,
+    the standard correction, so total rank stays exactly 1 and the
+    result matches the dense power-iteration oracle (parity test).
+
+    Per-iteration cost discipline: the dangling mass stays IN-PLAN (a
+    broadcast 1-row aggregate crossed into the update — no driver
+    collect, no extra job per iteration), and lineage is truncated
+    only every ``checkpoint_interval`` iterations — each checkpoint is
+    a real materialization job, so checkpointing every iteration paid
+    ~8 jobs where ~3 suffice to keep plan depth bounded.
+    """
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    annotated = e.join(outdeg, src).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    has_out = outdeg.select(F.col(src).alias("node"))
+    for it in range(iters):
+        dang = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        contribs = (
+            annotated.join(ranks, annotated[src] == ranks["node"])
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left_outer")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dang") / n
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks

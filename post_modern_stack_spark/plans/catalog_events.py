@@ -769,3 +769,35 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_intercept(value, hr)"), 5).alias("intercept"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("item_pagerank")  # rows-only: iterative; numpy-parity-tested instead
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the item-transition graph (consecutive
+    items in each user's event timeline → directed edge), the
+    weighted-contribution iterative pattern complementing
+    near_dup_clusters' label propagation. 8 fixed iterations,
+    localCheckpoint-ed lineage (operators/graph.pagerank); correctness
+    is anchored by the dense power-iteration parity test rather than a
+    SQL oracle (recursive float iteration isn't hash-stably
+    SQL-expressible)."""
+    from pyspark.sql import Window
+
+    from post_modern_stack_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    edges = (
+        ev.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull() & (F.col("item") != F.col("next_item")))
+        .select(F.col("item").alias("src"), F.col("next_item").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=8)
+    return ranks.select(
+        F.col("node").alias("item"), F.round("rank", 8).alias("rank")
+    )

@@ -125,3 +125,43 @@ def test_jaccard_prefix_filter_matches_plain_and_prunes(spark):
     }
     assert pref == plain
     assert len(plain) > 0
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """pagerank == numpy dense power iteration (same damping, iters,
+    dangling redistribution) on a random 40-node graph, atol 1e-9."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)
+                    if True})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+
+    # dense oracle
+    d = 0.85
+    nodes = sorted({x for e in edges for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    out = np.zeros(N)
+    for a, _ in edges:
+        out[ix[a]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(8):
+        dangling = r[out == 0].sum()
+        contrib = np.zeros(N)
+        for a, b in edges:
+            contrib[ix[b]] += r[ix[a]] / out[ix[a]]
+        r = (1 - d) / N + d * dangling / N + d * contrib
+    want = {v: r[ix[v]] for v in nodes}
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-9, v
