@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     qs = entryflow.QUERIES
     defer = set(entryflow.DEFER_FROM_WINDOW)
-    green = entryflow.DRIVER_GREEN
+    green = entryflow.driver_green()
 
     def bucket(n: str) -> int:
         # 0: flagship smoke anchor

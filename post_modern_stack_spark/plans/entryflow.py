@@ -25,11 +25,42 @@ ORACLES: dict[str, str] = {}
 # are verified by the pytest oracle sweep instead.
 DEFER_FROM_WINDOW: tuple[str, ...] = ()
 
+def driver_green() -> frozenset[str]:
+    """Names with a green driver-correctness row in ANY recorded round.
+
+    The driver checks a bounded window of ~50 queries per round, so
+    queries() lists never-driver-checked entries FIRST — across rounds
+    the union of CORRECTNESS_r{N}.json rows then covers the whole
+    catalog (VERDICT.md round-1 "Next round" item 1). Reading the
+    recorded files keeps the set current without hand-maintaining a
+    name list each round; ``DRIVER_GREEN`` (round 1) is the fallback
+    floor if no files are readable.
+    """
+    import glob
+    import json
+    import os
+
+    green = set(DRIVER_GREEN)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            flags = [v for v in row.values() if isinstance(v, bool)]
+            if row.get("err") is None and flags and all(flags):
+                green.add(name)
+    return frozenset(green)
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver-verified in
-# round 1). The driver checks a bounded window of ~50 queries per round,
-# so queries() lists never-driver-checked entries FIRST — across rounds
-# the union of CORRECTNESS_r{N}.json rows then covers the whole catalog
-# (VERDICT.md round-1 "Next round" item 1).
+# round 1) — the static floor under driver_green().
 DRIVER_GREEN: frozenset[str] = frozenset(
     {
         "sessionize",

@@ -26,3 +26,23 @@ def test_invalid_configs_fail_fast(kwargs, msg):
     base.update(kwargs)
     with pytest.raises(ValueError, match=msg):
         EngineConfig(**base).validate()
+
+
+def test_driver_green_reads_correctness_files():
+    """driver_green() unions recorded CORRECTNESS_r*.json greens with
+    the static round-1 floor, and queries() lists every
+    never-driver-checked entry before any green one."""
+    import __spark_entry__ as m
+    from post_modern_stack_spark.plans import entryflow
+
+    green = entryflow.driver_green()
+    assert "sessionize" in green and "rich_idle_customers" in green
+    names = list(m.queries())
+    assert names[0] == "sessionize"
+    seen_green_tail = False
+    for n in names[1:]:
+        is_green = n in green
+        if seen_green_tail:
+            assert is_green, f"unchecked query {n} listed after green ones"
+        elif is_green:
+            seen_green_tail = True
