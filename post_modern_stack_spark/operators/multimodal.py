@@ -425,3 +425,68 @@ def resample_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+SPECTROGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("start_sample", T.LongType(), False),
+        T.StructField("spectrum", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def spectrogram_frames(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bins: int = 8,
+    require_real_codecs: bool = True,
+) -> DataFrame:
+    """Audio → spectrogram frames: decode PCM-16 WAV, slide a
+    ``frame_len`` window at ``hop`` stride, rFFT each frame, average
+    magnitudes into ``n_bins`` bands — one output row per frame, the
+    feature grid audio models train on. All frames of one clip compute
+    in a single numpy call (strided view + batched rFFT), streamed per
+    Arrow batch; output is long-form so downstream ops shuffle at frame
+    grain, never clip grain."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, specs = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = bytes(c or b"")
+                if not (c[:4] == b"RIFF" and c[8:12] == b"WAVE"):
+                    if require_real_codecs:
+                        raise NotImplementedError(
+                            "spectrogram_frames: only PCM-16 WAV decodes natively"
+                        )
+                    continue
+                samples, _ = decode_wav(c)
+                mono = samples.mean(axis=1)
+                n_frames = max((len(mono) - frame_len) // hop + 1, 0)
+                if n_frames == 0:
+                    continue
+                idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+                frames = mono[idx]  # (n_frames, frame_len)
+                mags = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame_len//2+1)
+                bands = np.stack(
+                    [b.mean(axis=1) for b in np.array_split(mags, n_bins, axis=1)],
+                    axis=1,
+                )  # (n_frames, n_bins)
+                ids.extend([mid] * n_frames)
+                idxs.extend(range(n_frames))
+                starts.extend((hop * np.arange(n_frames)).tolist())
+                specs.extend([row.astype("float32") for row in bands])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "start_sample": starts,
+                    "spectrum": specs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, SPECTROGRAM_SCHEMA)

