@@ -221,10 +221,71 @@ def probe_queries(spark, path: str):
     }
 
 
+def synthesize_docs(spark, n_docs: int, path: str) -> str:
+    """Documents-shaped table: deterministic pseudo-text (40-word
+    vocabulary, 30-80 tokens/doc, ~1% exact duplicates) written as
+    parquet so text probes include scan cost."""
+    vocab = (
+        "key agg row scan slow fast table value part hash merge batch "
+        "spark line sort window the a of and to in big small filter "
+        "data column join customer query order group vector stream "
+        "cache disk node task"
+    ).split()
+    words = F.array(*[F.lit(w) for w in vocab])
+    n_vocab = len(vocab)
+    n_tok = (F.pmod(F.xxhash64("id"), F.lit(51)) + 30).cast("int")
+    # ~2% of docs are exact duplicates of their neighbor (PAIR groups —
+    # one giant shared-seed group would be a quadratic LSH-bucket
+    # artifact real pipelines remove with exact dedup first)
+    seed = F.when(
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50)) == 0, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.element_at(
+            words, (F.pmod(F.xxhash64(seed, i), F.lit(n_vocab)) + 1).cast("int")
+        ),
+    )
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", toks).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod("id", F.lit(20)).cast("string")).alias("source"),
+    )
+    df.withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_text_queries(spark, path: str):
+    """Text/dedup-family probes over the synthetic documents table."""
+    from post_modern_stack_spark.operators import dedup, textstats
+
+    def load():
+        return spark.read.parquet(path)
+
+    return {
+        "doc_chunking": lambda: textstats.chunk_documents(load()),
+        "exact_dedup_text": lambda: dedup.exact_dedup(load()),
+        "minhash_candidates": lambda: dedup.minhash_lsh_candidates(load()),
+        "contamination": lambda: textstats.contamination_pairs(
+            load().filter(F.col("doc_id") % 10 != 0),
+            load().filter(F.col("doc_id") % 10 == 0),
+        ),
+        "text_stats": lambda: textstats.text_stats(load()),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[1_000_000, 10_000_000])
     ap.add_argument("--users-frac", type=float, default=0.001)
+    ap.add_argument(
+        "--docs",
+        type=int,
+        nargs="*",
+        default=[],
+        help="also probe the text family at these documents-table sizes",
+    )
     args = ap.parse_args()
 
     from post_modern_stack_spark.session import get_spark
@@ -241,6 +302,14 @@ def main() -> None:
                 build().write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 2)
                 print(json.dumps({"rows": n, "query": name, "sec": dt}), flush=True)
+        for n in args.docs:
+            path = f"{base}/docs_{n}"
+            synthesize_docs(spark, n, path)
+            for name, build in probe_text_queries(spark, path).items():
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 2)
+                print(json.dumps({"docs": n, "query": name, "sec": dt}), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()
