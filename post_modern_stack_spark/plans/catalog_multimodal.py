@@ -195,3 +195,116 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").alias("n_bytes"),
         F.sha2("content", 256).alias("thumb_sha"),
     )
+
+
+@query("media_png_pipeline")  # rows-only: PNG byte assembly not SQL-expressible
+def q_media_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with a REAL compressed codec (PNG = zlib DEFLATE, stdlib):
+    per document, a deterministic 8×8 RGB image (digest noise over a
+    row gradient — the gradient makes the encoder's Up-filter branch
+    fire, so decode exercises filter reconstruction, not just
+    filter-0 passthrough) is encoded as a genuine PNG, thumbnailed
+    2×2 by resize_media (decode → NN-resize → re-encode PNG), and
+    fingerprinted. Any fallback to the digest fake fails the query
+    (strict codecs)."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad = np.tile(np.arange(8, dtype=np.uint16)[:, None, None] * 24, (1, 8, 3))
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                d = b"".join(
+                    _hl.sha256(t.encode() + bytes([i])).digest() for i in range(6)
+                )
+                noise = np.frombuffer(d[:192], dtype=np.uint8).reshape(8, 8, 3)
+                img = ((grad + (noise >> 3)) & 0xFF).astype(np.uint8)
+                content.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": content,
+                    "mime": "image/png",
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    thumbs = resize_media(media, out_h=2, out_w=2)
+    return thumbs.select(
+        "media_id",
+        "out_h",
+        "out_w",
+        F.length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("thumb_sha"),
+    )
+
+
+@query("media_g711_audio")  # rows-only: G.711 byte assembly not SQL-expressible
+def q_media_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with the REAL G.711 µ-law codec (ITU-T companding tables,
+    2:1 compressed telephony audio): per document, a deterministic
+    sine-plus-noise waveform is µ-law-compressed into a fmt=7 WAV,
+    then decoded + featurized strictly (expand table → float PCM →
+    duration/RMS/ZCR/spectrum features). Emits stable rounded scalars
+    so the driver's rows-only check sees a deterministic frame."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav_g711,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t_axis = np.arange(400) / 8000.0
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                d = _hl.sha256(t.encode()).digest()
+                freq = 200.0 + (d[0] << 2)  # 200..1220 Hz, digest-pinned
+                amp = 0.2 + d[1] / 512.0
+                wave = amp * np.sin(2 * np.pi * freq * t_axis)
+                content.append(encode_wav_g711(wave, 8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": content,
+                    "mime": "audio/basic",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 50,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    feats = extract_features(media, require_real_codecs=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("duration_s"),
+        F.round(F.element_at("features", 5), 5).alias("rms"),
+        F.round(F.element_at("features", 6), 5).alias("zcr"),
+    )

@@ -109,8 +109,8 @@ def test_extract_features_real_codecs_through_spark(spark):
 
     # compressed/unknown formats still refuse loudly in strict mode
     bad = spark.createDataFrame(
-        [Row(media_id=3, kind="image", content=bytearray(b"\x89PNG\r\n\x1a\n...."),
-             mime="image/png", width=None, height=None, duration_ms=None)],
+        [Row(media_id=3, kind="image", content=bytearray(b"\xff\xd8\xff\xe0JFIF.."),
+             mime="image/jpeg", width=None, height=None, duration_ms=None)],
         mm.MEDIA_SCHEMA,
     )
     import pytest
@@ -194,3 +194,171 @@ def test_spectrogram_frames_matches_numpy(spark):
         mags = np.abs(np.fft.rfft(mono[s : s + 256]))
         want = [b.mean() for b in np.array_split(mags, 8)]
         assert np.allclose(r["spectrum"], want, rtol=1e-5)
+
+
+def test_png_roundtrip_all_shapes():
+    """encode_png → decode_png is identity for gray / RGB / RGBA and
+    for gradient images (which trigger the Up-filter branch of the
+    encoder's per-row heuristic)."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 7, 3), (4, 4, 4), (6, 3, 1), (1, 1, 3), (16, 16, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = mm.decode_png(mm.encode_png(img))
+        assert out.shape == shape and (out == img).all()
+    grad = np.tile(np.arange(32, dtype=np.uint8)[:, None, None], (1, 8, 3))
+    png = mm.encode_png(grad)
+    assert (mm.decode_png(png) == grad).all()
+    # Up filter actually chosen for the constant-gradient body
+    assert png != mm.encode_png(rng.randint(0, 256, grad.shape).astype(np.uint8))
+
+
+def test_png_all_five_filters_match_slow_reference():
+    """decode_png's vectorized filter reconstruction == a per-byte
+    transliteration of PNG spec §9 Recon() for filters 0..4, on random
+    filtered scanlines (gray / RGB / RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+
+    def build(w, h, ch, filters):
+        stride = w * ch
+        filt_rows = [rng.randint(0, 256, stride).astype(np.uint8) for _ in range(h)]
+        recon = np.zeros((h, stride), dtype=np.int64)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            for i in range(stride):
+                a = recon[y, i - ch] if i >= ch else 0
+                b = recon[y - 1, i] if y > 0 else 0
+                c = recon[y - 1, i - ch] if (y > 0 and i >= ch) else 0
+                x = int(filt_rows[y][i])
+                if f == 0:
+                    r = x
+                elif f == 1:
+                    r = x + a
+                elif f == 2:
+                    r = x + b
+                elif f == 3:
+                    r = x + (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    r = x + pred
+                recon[y, i] = r & 0xFF
+        body = b"".join(
+            bytes([filters[y % len(filters)]]) + filt_rows[y].tobytes()
+            for y in range(h)
+        )
+
+        def chunk(tag, data):
+            crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        return png, recon.astype(np.uint8).reshape(h, w, ch)
+
+    for ch in (1, 3, 4):
+        png, expect = build(6, 9, ch, [0, 1, 2, 3, 4])
+        assert (mm.decode_png(png) == expect).all()
+
+
+def test_png_palette_decode():
+    """Color type 3 (palette) expands through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    body = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_png(png) == palette[idx]).all()
+
+
+def test_g711_mulaw_roundtrip_and_wav_container():
+    """µ-law encode → expand-table decode stays within one companding
+    segment (< 3.2 % of full scale at max amplitude); fmt=7 WAV decodes
+    through the same decode_wav dispatch as PCM."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-0.9, 0.9, 5000)
+    table = mm._g711_mulaw_decode_table()
+    codes = np.frombuffer(mm.mulaw_encode(x), dtype=np.uint8)
+    assert np.abs(table[codes] / 32768.0 - x).max() < 0.032
+    samples, rate = mm.decode_wav(mm.encode_wav_g711(x, 8000))
+    assert rate == 8000 and samples.shape == (5000, 1)
+    assert np.abs(samples[:, 0] - x).max() < 0.032
+    # A-law table sanity: odd symmetric, full 16-bit-ish range
+    a = mm._g711_alaw_decode_table()
+    assert a.min() < -30000 and a.max() > 30000 and len(np.unique(a)) == 256
+
+
+def test_resize_media_png_stays_png(spark):
+    """PNG in → PNG out through resize_media; thumbnail decodes to the
+    nearest-neighbor subsample of the source."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", content=bytearray(mm.encode_png(img)),
+             mime="image/png", width=8, height=8, duration_ms=None)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.resize_media(media, out_h=4, out_w=4).collect()[0]
+    thumb = mm.decode_png(bytes(row["content"]))
+    assert (thumb == mm.resize_image(img, 4, 4)).all()
+
+
+def test_extract_features_png_real_codec(spark):
+    """PNG rides the require_real_codecs=True path (no digest fake):
+    features equal image_features of the decoded pixels."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [Row(media_id=9, kind="image", content=bytearray(mm.encode_png(img)),
+             mime="image/png", width=6, height=6, duration_ms=None)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.extract_features(media, require_real_codecs=True).collect()[0]
+    assert np.allclose(row["features"], mm.image_features(img), rtol=1e-6)
