@@ -1619,3 +1619,93 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "co_ordered_part_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           count(*)    AS n_orders
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """,
+)
+def q_co_ordered_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order at least twice — the support-counting stage of frequent
+    itemset mining (and the edge-builder the item graph queries eat).
+
+    Work is bounded by sum over orders of C(basket,2), not |lineitem|²:
+    the self-join keys on l_orderkey so each order's items co-locate in
+    one partition, and the ``part_a < part_b`` predicate halves the
+    pair space before the aggregate. Baskets here are TPC-H-small
+    (≤7 lines); for power-law baskets the standard remedy is capping
+    or salting the hot basket before the self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           revenue,
+           round(coalesce(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                          / lag(revenue) OVER (ORDER BY month), 0.0), 4) AS growth_pct,
+           round(sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM monthly
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth + running total over an aggregated
+    series: the KPI-dashboard shape (agg → lag → pct-change → cumsum).
+
+    The window runs over the POST-aggregate frame (one row per month),
+    so the unpartitioned ORDER BY is a few-dozen-row sort on one task
+    — deliberately after the shuffle-reducing groupBy, never on the
+    raw fact table (contrast split_by_time's cutoff scale path for
+    event-grain global ordering).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    cum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            F.coalesce(100.0 * (F.col("revenue") - prev) / prev, F.lit(0.0)), 4
+        ).alias("growth_pct"),
+        F.round(F.sum("revenue").over(cum), 2).alias("cum_revenue"),
+    )

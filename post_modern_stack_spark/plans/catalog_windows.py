@@ -327,3 +327,107 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(fold, 6).alias("ewma_value"),
     )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both linear interpolation) — the
+    data-quality profiling primitive behind outlier gates.
+
+    Exact percentile is a sort-based agg (per-group sort of values);
+    it shuffles once on the group key. At fact scale the same query
+    swaps to ``percentile_approx`` (KLL-sketch-like, mergeable,
+    bounded memory) — registered separately under approx_sketches so
+    both cost profiles stay available.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "hourly_active_users",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+           ) AS active_users
+    FROM events
+    """,
+)
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct-count: per event, how many distinct users
+    acted on that event_type in the trailing hour — the real-time
+    "active users" gauge as a windowed dataflow.
+
+    Spark has no DISTINCT aggregate over windows, so the distinct is
+    expressed as ``size(collect_set(...))`` over the same RANGE frame
+    — semantically identical, evaluated per-frame within one shuffle
+    on event_type. The per-frame set is bounded by the hour's user
+    cardinality; for unbounded-cardinality gauges the HLL-sketch
+    rollup (daily_sketch_rollup) is the constant-memory variant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms")
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias("active_users"),
+    )
+
+
+@query(
+    "deterministic_group_sample",
+    oracle="""
+    SELECT event_type, event_id, smp_rank
+    FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS smp_rank
+        FROM events
+    )
+    WHERE smp_rank <= 5
+    """,
+)
+def q_deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bottom-k sampling: per group, keep the k rows with
+    the smallest deterministic hash — the mergeable, rerun-stable
+    reservoir-sample replacement (identical sample on every engine and
+    every rerun, unlike rand()).
+
+    Bottom-k by hash is associative: partial top-k per partition then
+    merge, which is exactly what Spark's WindowGroupLimit pushdown
+    does with the rank-filter pattern — no full per-group sort
+    materializes. md5-of-id is the portable hash both engines share.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= 5)
+    )
