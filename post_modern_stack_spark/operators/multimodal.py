@@ -317,6 +317,245 @@ def encode_png(img, level: int = 6) -> bytes:
     )
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int):
+    """GIF-variant LZW decode (LSB-first bit packing, dynamic code
+    width 3..12 bits, clear/end control codes) — the entropy coder
+    every GIF frame uses, in pure Python over a byte buffer."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset_table():
+        nonlocal table, code_size, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+        next_code = end + 1
+
+    code_size = min_code_size + 1
+    next_code = end + 1
+    reset_table()
+    acc = n_bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            n_bits -= code_size
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (inverse of :func:`_lzw_decode_gif`):
+    dict-based with table reset at 4096 codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += size
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    emit(clear, code_size)
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        buf = (int(sym),)
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(content: bytes):
+    """REAL decoder for GIF87a/GIF89a (pure Python/numpy — GIF's LZW
+    entropy coder is implemented above, so no external media lib):
+    logical-screen + color tables, graphic-control extensions (frame
+    delays, transparency), per-frame LZW decode, draw-over composition
+    onto the canvas at each frame's (left, top) offset. Non-interlaced
+    only. Returns (frames (n, h, w, 3) uint8, delays_ms list[int])."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[_bg]
+    frames, delays = [], []
+    delay_ms, transp = 0, None
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = content[pos]
+                flags, delay_cs, tidx = struct.unpack_from("<BHB", content, pos + 1)
+                delay_ms = delay_cs * 10
+                transp = tidx if (flags & 1) else None
+                pos += 1 + size + 1  # size byte + payload + terminator
+            else:  # skip sub-blocks of any other extension
+                while content[pos]:
+                    pos += 1 + content[pos]
+                pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", content, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos]:
+                size = content[pos]
+                data += content[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = np.array(_lzw_decode_gif(bytes(data), mcs), dtype=np.int32)
+            idx = idx[: fw * fh].reshape(fh, fw)
+            region = canvas[top : top + fh, left : left + fw]
+            pixels = ct[idx]
+            if transp is not None:
+                mask = (idx != transp)[..., None]
+                pixels = np.where(mask, pixels, region)
+            canvas[top : top + fh, left : left + fw] = pixels
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            delay_ms, transp = 0, None
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF stream has no image frames")
+    import numpy as np
+
+    return np.stack(frames), delays
+
+
+def encode_gif(frames, delays_ms=None) -> bytes:
+    """Inverse of :func:`decode_gif`: animated GIF89a with a global
+    palette built from the frames' unique colors (≤256 required —
+    median-cut quantization is a lossy design choice this exact
+    round-trip codec deliberately refuses)."""
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[None]
+    n, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"encode_gif is exact (no quantization); got {len(colors)} colors > 256"
+        )
+    return encode_gif_indexed(
+        inverse.reshape(n, h, w), colors, delays_ms=delays_ms
+    )
+
+
+def encode_gif_indexed(indices, palette, delays_ms=None) -> bytes:
+    """Palette-indexed GIF encode fast path: when the producer already
+    holds (frame, row, col) palette indices (synthetic media, screen
+    content, quantizer output), skip the unique/inverse color mapping
+    entirely — the per-pixel work is then just the LZW coder."""
+    import struct
+
+    import numpy as np
+
+    indices = np.asarray(indices)
+    if indices.ndim == 2:
+        indices = indices[None]
+    palette = np.asarray(palette, dtype=np.uint8)
+    n, h, w = indices.shape
+    delays_ms = list(delays_ms or [100] * n)
+    depth = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    mcs = max(2, depth)
+    for f in range(n):
+        out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, delays_ms[f] // 10, 0, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        payload = _lzw_encode_gif(indices[f].reshape(-1).tolist(), mcs)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def _g711_mulaw_decode_table():
     """ITU-T G.711 µ-law expand table (256 → int16), computed once."""
     import numpy as np
@@ -449,6 +688,9 @@ def _decode_and_featurize(content: bytes, kind: str, require_real_codecs: bool):
     with ``require_real_codecs=True`` they raise instead of falling
     back to the deterministic digest fake."""
     content = content or b""
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        frames, _delays = decode_gif(content)
+        return image_features(frames[0])  # keyframe descriptor
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         img = decode_png(content)
         if img.shape[2] == 1:  # grayscale → replicate for RGB features
@@ -500,6 +742,56 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 40) -> DataFrame:
+    """REAL video frame sampling: decode animated GIF (LZW codec
+    above), walk the cumulative frame-delay timeline, and emit the
+    frame visible at each ``every_ms`` tick with its mean luma and a
+    content fingerprint. mapInPandas iterator API — one decoded video
+    in memory at a time per task; output rows are tiny (scalars +
+    sha), so frame explosion never materializes pixel data in the
+    shuffle."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_ts_ms", "frame_idx",
+                                    "mean_luma", "frame_sha")}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames, delays = decode_gif(bytes(c or b""))
+                # cumulative start time of each frame; 0-delay frames
+                # get a 1 ms floor so the timeline strictly advances
+                starts = np.cumsum([0] + [max(d, 1) for d in delays[:-1]])
+                total = starts[-1] + max(delays[-1], 1)
+                lumas = (
+                    frames.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                ).mean(axis=(1, 2)) / 255.0
+                for ts in range(0, int(total), every_ms):
+                    i = int(np.searchsorted(starts, ts, side="right") - 1)
+                    rows["media_id"].append(mid)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["frame_idx"].append(i)
+                    rows["mean_luma"].append(round(float(lumas[i]), 6))
+                    rows["frame_sha"].append(
+                        _hl.sha256(frames[i].tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(run, FRAMES_SCHEMA)
 
 
 def frame_sample_plan(

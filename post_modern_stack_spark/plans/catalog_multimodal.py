@@ -308,3 +308,53 @@ def q_media_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 5), 5).alias("rms"),
         F.round(F.element_at("features", 6), 5).alias("zcr"),
     )
+
+
+@query("media_video_frames")  # rows-only: GIF byte assembly not SQL-expressible
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 video surface with a REAL compressed codec end-to-end: per
+    document a 4-frame animated GIF (LZW-encoded, palette from the doc
+    digest) is assembled, then operators/multimodal.sample_frames
+    decodes it and emits the frame visible at each 40 ms tick with
+    mean luma + frame fingerprint — the video keyframe-extraction
+    pattern with the pixel data never entering a shuffle (only scalars
+    and hashes leave the task)."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif_indexed,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                # one digest seeds a PCG stream for palette + indices —
+                # deterministic per text, no per-pixel hashing
+                seed = int.from_bytes(_hl.sha256(t.encode()).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+                idx = rng.integers(0, 8, (4, 8, 8), dtype=np.uint8)
+                content.append(encode_gif_indexed(idx, palette, [40, 40, 40, 40]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": content,
+                    "mime": "image/gif",
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": 160,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    return sample_frames(media, every_ms=40)

@@ -362,3 +362,74 @@ def test_extract_features_png_real_codec(spark):
     )
     row = mm.extract_features(media, require_real_codecs=True).collect()[0]
     assert np.allclose(row["features"], mm.image_features(img), rtol=1e-6)
+
+
+def test_gif_lzw_and_animated_roundtrip():
+    """GIF LZW encode→decode identity (incl. the KwKwK case via long
+    runs) and full animated-GIF round trip with frame delays."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    for mcs, n in [(2, 500), (4, 3000), (8, 20000)]:
+        syms = rng.randint(0, 1 << mcs, n).tolist()
+        syms += [syms[0]] * 300
+        assert mm._lzw_decode_gif(mm._lzw_encode_gif(syms, mcs), mcs) == syms
+    palette = rng.randint(0, 256, (12, 3)).astype(np.uint8)
+    frames = palette[rng.randint(0, 12, (4, 10, 7))]
+    dec, delays = mm.decode_gif(mm.encode_gif(frames, [40, 40, 80, 120]))
+    assert (dec == frames).all() and delays == [40, 40, 80, 120]
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.encode_gif(rng.randint(0, 256, (1, 30, 30, 3)).astype(np.uint8))
+
+
+def test_sample_frames_timeline(spark):
+    """sample_frames picks the frame visible at each tick from the
+    cumulative-delay timeline; luma and sha match per-frame numpy."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    palette = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    frames = palette[rng.randint(0, 4, (3, 6, 6))]
+    gif = mm.encode_gif(frames, [100, 50, 100])  # frame starts: 0, 100, 150
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="video", content=bytearray(gif), mime="image/gif",
+             width=6, height=6, duration_ms=250)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["frame_ts_ms"]: r for r in mm.sample_frames(media, every_ms=50).collect()}
+    assert sorted(rows) == [0, 50, 100, 150, 200]
+    assert [rows[t]["frame_idx"] for t in sorted(rows)] == [0, 0, 1, 2, 2]
+    for t, r in rows.items():
+        f = frames[r["frame_idx"]]
+        want_luma = float((f.astype(np.float64) @ [0.299, 0.587, 0.114]).mean() / 255.0)
+        assert abs(r["mean_luma"] - want_luma) < 1e-5
+        assert r["frame_sha"] == hashlib.sha256(f.tobytes()).hexdigest()
+
+
+def test_extract_features_gif_keyframe(spark):
+    """GIF rides the strict codec path: features == image_features of
+    the first frame."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(6)
+    palette = rng.randint(0, 256, (6, 3)).astype(np.uint8)
+    frames = palette[rng.randint(0, 6, (2, 5, 5))]
+    media = spark.createDataFrame(
+        [Row(media_id=2, kind="video", content=bytearray(mm.encode_gif(frames)),
+             mime="image/gif", width=5, height=5, duration_ms=200)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.extract_features(media, require_real_codecs=True).collect()[0]
+    assert np.allclose(row["features"], mm.image_features(frames[0]), rtol=1e-6)
