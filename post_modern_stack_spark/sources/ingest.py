@@ -145,3 +145,23 @@ def read_jsonl(spark, path: str, schema: T.StructType) -> DataFrame:
     failing the job, with the raw line preserved when the schema has a
     ``_corrupt_record`` string field."""
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> str:
+    """H-family widened: ORC sink (Spark-bundled columnar alternative
+    to parquet — same predicate-pushdown/column-pruning contract, ZLIB
+    or SNAPPY block compression, dictionary + RLE encodings). At 100 TB
+    ORC vs parquet is a layout choice, not a capability difference;
+    both ride the same DataSource V2 scan machinery."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+    return path
+
+
+def read_orc(spark, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source. Schema optional: unlike CSV/JSON, ORC files embed a
+    typed schema in the footer, so schema-on-read here means projection
+    (column pruning against the footer), not inference."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

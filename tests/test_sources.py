@@ -357,3 +357,35 @@ def test_synthetic_events_stream_resumes_from_checkpoint(spark, tmp_path):
     # 0 with NO duplicates (exactly-once), and strictly more data
     assert both == set(range(len(both)))
     assert len(both) > len(first)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """H-family ORC: zlib round trip preserves values + types, filters
+    reach the ORC scan (PushedFilters in the physical plan) and column
+    pruning shrinks ReadSchema to the projection."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.sources import ingest
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+    )
+    path = str(tmp_path / "orc_roundtrip")
+    ingest.write_orc(df, path, compression="zlib")
+    back = ingest.read_orc(spark, path)
+    assert back.count() == 1000
+    assert dict(back.dtypes) == {"id": "bigint", "bucket": "bigint", "label": "string"}
+    assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+
+    plan = (
+        back.filter(F.col("bucket") == 3)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "bucket" in plan
+    # projection pruned to the two needed columns (filter col + output)
+    assert "label" not in plan.split("ReadSchema")[1][:120]

@@ -266,3 +266,45 @@ def test_stream_stream_left_outer_join_emits_viewless_purchases(spark, events_di
     assert got_rows == want_rows
     # the outer join genuinely added null-padded rows vs the inner one
     assert any(v is None for _, v in want_rows)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """J-family stream-static join: enriching the event stream with a
+    static user dimension produces exactly the batch join's rows
+    (stateless per-micro-batch join — no watermark, no withheld rows),
+    and unmatched users keep their events (left semantics)."""
+    from post_modern_stack_spark.streaming import enrich_stream
+
+    ev = load_table(spark, SF, "events")
+    # static dim covering ~half the users so the left side matters
+    dims = (
+        ev.select("user_id").distinct().filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("user_id") % 3))
+    )
+
+    stream = S.stream_events(spark, events_dir)
+    got = _run_to_memory(
+        spark,
+        enrich_stream.enrich_events(stream, dims).select(
+            "event_id", "user_id", "segment"
+        ),
+        "enriched",
+    ).toPandas()
+
+    batch = (
+        enrich_stream.enrich_events(
+            ev.select("event_id", F.col("ts_ns").alias("ts"), "user_id"), dims
+        )
+        .select("event_id", "user_id", "segment")
+        .toPandas()
+    )
+    assert len(got) == len(batch) == ev.count()
+    g = got.sort_values("event_id").reset_index(drop=True).fillna("∅")
+    b = batch.sort_values("event_id").reset_index(drop=True).fillna("∅")
+    assert (g.values == b.values).all()
+    assert (b["segment"] == "∅").any(), "left join must keep unmatched users"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        enrich_stream.enrich_events(stream, dims, how="full")
