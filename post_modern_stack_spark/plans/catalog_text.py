@@ -667,3 +667,54 @@ def q_array_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_chars"),
     )
+
+
+@query(
+    "udtf_char_trigrams",
+    oracle="""
+    WITH grams AS (
+        SELECT lang,
+               unnest([substr(lower(substr(text, 1, 80)), CAST(i AS INT), 3)
+                       FOR i IN generate_series(1, greatest(length(substr(text, 1, 80)) - 2, 0))]) AS gram
+        FROM documents
+    ),
+    counted AS (
+        SELECT lang, gram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rnk
+        FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, rnk FROM counted WHERE rnk <= 5
+    """,
+)
+def q_udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface Python UDTF (Spark 4 table-valued function): the
+    character-shingling step as a LATERAL table function —
+    ``FROM documents, LATERAL char_ngrams(text, 3)`` — then a plain
+    top-5-grams-per-language aggregation over its output.
+
+    The UDTF is the API-surface demo (Arrow-batched Python boundary,
+    one eval per document); the 80-char prefix bounds the Python-side
+    work, and the identical shingling at corpus scale runs JVM-side in
+    operators/dedup (explode over transform). Tie-break: gram ASC at
+    equal counts, so the top-5 set is total-ordered on both engines.
+    """
+    from post_modern_stack_spark.sql_functions import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("pm_docs_udtf")
+    return spark.sql(
+        """
+        WITH grams AS (
+            SELECT d.lang, g.gram
+            FROM pm_docs_udtf d,
+                 LATERAL char_ngrams(lower(substr(d.text, 1, 80)), 3) g
+        ),
+        counted AS (
+            SELECT lang, gram, count(*) AS n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, gram) AS rnk
+            FROM grams GROUP BY lang, gram
+        )
+        SELECT lang, gram, n, rnk FROM counted WHERE rnk <= 5
+        """
+    )

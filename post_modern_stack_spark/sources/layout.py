@@ -171,3 +171,84 @@ def write_zordered(
         else keyed.repartitionByRange("__zkey")
     )
     part.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(path)
+
+
+def with_hilbert_key(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 12, out: str = "__hkey"
+) -> DataFrame:
+    """Hilbert-curve index of two rank-normalized columns (each in
+    [0, 2^bits)) — better clustering than the Morton key for 2-D
+    workloads: the Hilbert curve has no Z-shaped jumps, so consecutive
+    key ranges are contiguous spatial regions and file min/max ranges
+    cover tighter rectangles.
+
+    The classic xy2d bit algorithm is a sequential loop with rotation
+    state. A naive Column unrolling nests each level's x/y inside the
+    next level's when/otherwise and the expression tree grows 4^bits
+    nodes (Catalyst analysis hangs) — so each level is MATERIALIZED as
+    a projection over named temp columns: ``bits`` stacked selects,
+    each O(1) expressions, still pure JVM bit ops with no UDF and no
+    shuffle. That projection-chain trick is why this is a DataFrame
+    transform, not a Column factory like ``zorder_key``.
+
+    2-D only by design — Morton (zorder_key) generalizes to N dims
+    trivially; Hilbert's rotation table doesn't.
+    """
+    hx, hy, hd = "__hx", "__hy", "__hd"
+    cur = df.withColumns(
+        {
+            hx: F.col(xcol).cast("long"),
+            hy: F.col(ycol).cast("long"),
+            hd: F.lit(0).cast("long"),
+        }
+    )
+    for level in range(bits - 1, -1, -1):
+        s_val = 1 << level
+        rx = F.shiftright(F.col(hx), level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(hy), level).bitwiseAND(F.lit(1))
+        quadrant = (rx * 3).bitwiseXOR(ry).cast("long")
+        reflect = (ry == 0) & (rx == 1)
+        nx = F.when(reflect, F.lit(s_val - 1) - F.col(hx)).otherwise(F.col(hx))
+        ny = F.when(reflect, F.lit(s_val - 1) - F.col(hy)).otherwise(F.col(hy))
+        cur = cur.withColumns(
+            {
+                hd: F.col(hd) + F.lit(1 << (2 * level)).cast("long") * quadrant,
+                hx: F.when(ry == 0, ny).otherwise(nx),
+                hy: F.when(ry == 0, nx).otherwise(ny),
+            }
+        )
+    return cur.withColumnRenamed(hd, out).drop(hx, hy)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 12,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered parquet layout — the 2-D sibling of
+    ``write_zordered`` with the same rank-normalize → key → range
+    partition → sort pipeline (see that docstring for the 100 TB
+    approximate-rank variant)."""
+    from pyspark.sql import Window
+
+    if len(cluster_cols) != 2:
+        raise ValueError("hilbert layout is 2-D; use write_zordered for N dims")
+    levels = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in cluster_cols:
+        rc = f"__hr_{c}"
+        ranked = ranked.withColumn(
+            rc, (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long")
+        )
+        rank_cols.append(rc)
+    keyed = with_hilbert_key(ranked, *rank_cols, bits=bits).drop(*rank_cols)
+    part = (
+        keyed.repartitionByRange(partitions, "__hkey")
+        if partitions
+        else keyed.repartitionByRange("__hkey")
+    )
+    part.sortWithinPartitions("__hkey").drop("__hkey").write.mode(mode).parquet(path)

@@ -59,3 +59,31 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     for ddl in _FUNCTIONS.values():
         spark.sql(ddl)
     return sorted(_FUNCTIONS)
+
+
+def register_udtfs(spark: SparkSession) -> list[str]:
+    """Install Python UDTFs (Spark 4 table-valued functions, callable
+    from SQL FROM/LATERAL position).
+
+    ``char_ngrams(text, n)`` emits one row per character n-gram — the
+    table-function shape of the shingling step the dedup family uses.
+    NOTE the cost model: a Python UDTF is a per-row Python boundary;
+    it exists here to cover the SQL-surface API (the reference's dbt
+    models consume table-valued SQL), while the scale path for
+    shingling stays the builtin explode/transform pipeline in
+    operators/dedup.py (JVM-side, codegen). Arrow batching is enabled
+    for the transfer (spark.sql.execution.pythonUDTF.arrow.enabled).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, gram: string")
+    class CharNgrams:
+        def eval(self, text: str, n: int):  # noqa: D401 - UDTF contract
+            if text is None or n is None or n <= 0:
+                return
+            for i in range(max(len(text) - n + 1, 0)):
+                yield i, text[i : i + n]
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("char_ngrams", CharNgrams)
+    return ["char_ngrams"]

@@ -389,3 +389,79 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "bucket" in plan
     # projection pruned to the two needed columns (filter col + output)
     assert "label" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_hilbert_key_matches_reference_and_is_adjacent(spark):
+    """with_hilbert_key == the textbook xy2d loop on random points;
+    sorting a full 16x16 grid by the key walks a path where every
+    consecutive pair is grid-adjacent (the Hilbert property Morton
+    lacks — no Z jumps)."""
+    import random
+
+    from post_modern_stack_spark.sources.layout import with_hilbert_key
+
+    def xy2d_ref(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(3)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    rows = with_hilbert_key(
+        spark.createDataFrame(pts, "x long, y long"), "x", "y", bits=8, out="hk"
+    ).collect()
+    assert all(r["hk"] == xy2d_ref(256, r["x"], r["y"]) for r in rows)
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    seq = sorted(
+        with_hilbert_key(
+            spark.createDataFrame(grid, "x long, y long"), "x", "y", bits=4, out="hk"
+        ).collect(),
+        key=lambda r: r["hk"],
+    )
+    assert [r["hk"] for r in seq] == list(range(256))
+    assert all(
+        abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) == 1 for a, b in zip(seq, seq[1:])
+    )
+
+
+def test_write_hilbert_clusters_both_dims(spark, tmp_path):
+    """Hilbert layout: like the z-order test, every file covers a
+    narrow range of BOTH cluster columns; 2-D-only guard raises."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.sources.layout import write_hilbert
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        (F.pmod(F.xxhash64("id"), F.lit(64))).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "hilberted")
+    write_hilbert(df, out, ["a", "b"], bits=6, partitions=16)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    spans_a, spans_b = [], []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("a"), F.max("a"), F.min("b"), F.max("b")
+        ).collect()[0]
+        spans_a.append(r[1] - r[0])
+        spans_b.append(r[3] - r[2])
+    assert sum(spans_a) / len(spans_a) < 32
+    assert sum(spans_b) / len(spans_b) < 32
+    assert spark.read.parquet(out).count() == n
+    with pytest.raises(ValueError):
+        write_hilbert(df, out, ["a"], bits=6)

@@ -86,3 +86,22 @@ def test_parameterized_sql_extraction(spark):
     g = {(r["user_id"], str(r["d"])): (r["total_value"], r["n"]) for r in got.collect()}
     w = {(r["user_id"], str(r["d"])): (r["total_value"], r["n"]) for r in want.collect()}
     assert g and g == w
+
+
+def test_char_ngrams_udtf_lateral(spark):
+    """Spark 4 Python UDTF in FROM/LATERAL position: per-row table
+    expansion with positions; NULL/edge inputs yield no rows."""
+    from post_modern_stack_spark.sql_functions import register_udtfs
+
+    assert "char_ngrams" in register_udtfs(spark)
+    rows = spark.sql("SELECT * FROM char_ngrams('abcd', 2)").collect()
+    assert [(r["pos"], r["gram"]) for r in rows] == [(0, "ab"), (1, "bc"), (2, "cd")]
+    spark.createDataFrame(
+        [("hello",), (None,), ("x",)], "text string"
+    ).createOrReplaceTempView("udtf_probe")
+    out = spark.sql(
+        "SELECT text, g.gram FROM udtf_probe t, LATERAL char_ngrams(t.text, 3) g"
+    ).collect()
+    assert [(r["text"], r["gram"]) for r in out] == [
+        ("hello", "hel"), ("hello", "ell"), ("hello", "llo")
+    ]
