@@ -797,7 +797,9 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_item").isNotNull() & (F.col("item") != F.col("next_item")))
         .select(F.col("item").alias("src"), F.col("next_item").alias("dst"))
     )
-    ranks = pagerank(edges, iters=8)
+    # item vocabulary is catalog-bounded -> ranks broadcast, edges never
+    # shuffle per iteration (operators/graph.pagerank docstring)
+    ranks = pagerank(edges, iters=8, broadcast_ranks=True)
     return ranks.select(
         F.col("node").alias("item"), F.round("rank", 8).alias("rank")
     )

@@ -326,7 +326,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df derived FROM tf, not from a second tokenize pass: tf is
+    # already (doc, term)-distinct, so df(term) = count of tf rows —
+    # the corpus explode runs once and its exchange is reused for both
+    # branches (count_distinct over raw tokens would re-explode and
+    # re-dedup what tf's aggregate already dedups)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(df_, "term")
