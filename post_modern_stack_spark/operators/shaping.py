@@ -95,3 +95,70 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling: per
+    group, walk rows in ``order_col`` order accumulating weight and
+    keep a row whenever the running total crosses one of k evenly
+    spaced thresholds (classic systematic PPS — heavy rows are near-
+    certain picks, light rows sampled ∝ weight, exactly ≤ k kept).
+
+    Chosen over Efraimidis–Spirakis top-k(u^(1/w)) for the engine-
+    replayable catalog because it needs NO transcendental functions
+    and — with an INTEGRAL weight column — no floating point at all:
+    row j is picked iff a threshold t·total/k lands in
+    ((cum−w)·k, cum·k], tested with integer multiply + floor division,
+    so any engine replays it bit-for-bit. Float weights are rejected:
+    engines disagree on windowed float sums in the last ULP (DuckDB
+    aggregates window frames with a segment tree, Spark streams the
+    running frame — caught live on the cum==total boundary rows), so
+    callers quantize first (money → cents, scores → fixed-point).
+
+    One shuffle (group key), one window pass; the running sum is the
+    sequential streaming frame, never a per-row re-scan. Emits
+    ``smp_rank`` (1-based pick index within the group).
+    """
+    if not any(
+        c == weight_col and t in ("int", "bigint", "smallint", "tinyint")
+        for c, t in df.dtypes
+    ):
+        raise TypeError(
+            f"pps_systematic_sample needs an integral weight column for "
+            f"exact cross-engine replay; got {dict(df.dtypes).get(weight_col)!r} "
+            "— quantize (e.g. cents) before sampling"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    total_w = Window.partitionBy(*group_cols)
+    # Window sums and the pick math MUST land in one projection BEFORE
+    # any filter: a window expression referenced after a filter would
+    # be re-evaluated over only the surviving rows, silently changing
+    # the running sums (caught by the DuckDB oracle: ranks shifted).
+    staged = df.withColumns(
+        {
+            "__cum": F.sum(weight_col).over(w).cast("long"),
+            "__total": F.sum(weight_col).over(total_w).cast("long"),
+        }
+    ).withColumns(
+        {
+            "__picks_before": F.expr(
+                f"((__cum - {weight_col}) * {k}) DIV __total"
+            ),
+            "__picks_through": F.expr(f"(__cum * {k}) DIV __total"),
+        }
+    )
+    return (
+        staged.filter(
+            (F.col("__picks_through") > F.col("__picks_before"))
+            & (F.col(weight_col) > 0)
+        )
+        .withColumn("smp_rank", (F.col("__picks_before") + 1).cast("long"))
+        .filter(F.col("smp_rank") <= k)  # last threshold == total edge case
+        .drop("__cum", "__total", "__picks_before", "__picks_through")
+    )

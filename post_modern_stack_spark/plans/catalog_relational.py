@@ -1720,3 +1720,44 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("growth_pct"),
         F.round(F.sum("revenue").over(cum), 2).alias("cum_revenue"),
     )
+
+
+@query(
+    "weighted_sample_orders",
+    oracle="""
+    WITH wts AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS wt
+        FROM orders
+    ),
+    acc AS (
+        SELECT o_orderpriority, o_orderkey, wt,
+               sum(wt) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(wt) OVER (PARTITION BY o_orderpriority) AS total
+        FROM wts
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(((cum - wt) * 10) // total + 1 AS BIGINT) AS smp_rank
+    FROM acc
+    WHERE (cum * 10) // total > ((cum - wt) * 10) // total
+      AND wt > 0
+      AND ((cum - wt) * 10) // total + 1 <= 10
+    """,
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (systematic PPS): 10 orders per
+    priority class picked proportionally to o_totalprice — the
+    training-data curation primitive for importance-weighted corpus
+    subsampling. Weights are quantized to integer cents so the pick
+    set is pure integer arithmetic — engine-replayable bit-for-bit
+    (operators/shaping.pps_systematic_sample docstring records why
+    float windowed sums and u^(1/w) keys both fail cross-engine)."""
+    from post_modern_stack_spark.operators.shaping import pps_systematic_sample
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "wt", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return pps_systematic_sample(
+        orders, ["o_orderpriority"], "wt", "o_orderkey", 10
+    ).select("o_orderpriority", "o_orderkey", "smp_rank")

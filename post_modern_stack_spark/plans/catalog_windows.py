@@ -379,9 +379,14 @@ def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no DISTINCT aggregate over windows, so the distinct is
     expressed as ``size(collect_set(...))`` over the same RANGE frame
     — semantically identical, evaluated per-frame within one shuffle
-    on event_type. The per-frame set is bounded by the hour's user
-    cardinality; for unbounded-cardinality gauges the HLL-sketch
-    rollup (daily_sketch_rollup) is the constant-memory variant.
+    on event_type. COST MODEL (measured, scripts/scale_probe.py):
+    collect_set is non-invertible, so the frame recomputes per row —
+    O(n × frame_rows). Fine while event density keeps frames small
+    (here: sf0.1 frames are tens of rows); on a timeline dense enough
+    that an hour holds millions of events this goes quadratic — the
+    probe pins ~100-row frames for the linear regime, and the 100 TB
+    path for unbounded density is the mergeable HLL rollup
+    (daily_sketch_rollup), not a bigger window.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import shutil
 import sys
@@ -206,6 +207,99 @@ def probe_queries(spark, path: str):
 
         return scd2_intervals(load(), ["user_id"], "event_type", "ts_ns", ["event_id"])
 
+    def sliding_distinct_users():
+        # hourly_active_users shape: collect_set over a RANGE frame.
+        # SCALE FINDING (this probe, first run): collect_set is a
+        # non-invertible aggregate, so Spark recomputes the frame per
+        # row -> O(n x frame_rows). On this 1 ms-spaced synthetic
+        # timeline a 1-hour frame holds 3.6M rows and the query is
+        # effectively quadratic (never finished at 1M rows). The probe
+        # therefore pins frame density (~100 rows/frame) to measure
+        # the linear regime; unbounded-density gauges must use the
+        # HLL-sketch rollup (daily_sketch_rollup) instead — that is
+        # the documented 100 TB path in the catalog query.
+        from pyspark.sql import Window
+
+        ev = load()
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts_ms")
+            .rangeBetween(-100, Window.currentRow)
+        )
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.size(F.collect_set("user_id").over(w)).alias("active_users"),
+        )
+
+    def group_sample_bottomk():
+        # deterministic_group_sample shape: WindowGroupLimit must prune
+        # per-partition before the final per-group merge (no full sort
+        # of the fact table)
+        from pyspark.sql import Window
+
+        ev = load()
+        w = Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+        return (
+            ev.select("event_type", "event_id")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+        )
+
+    def basket_pairs():
+        # co_ordered_part_pairs shape on (user, day) baskets with the
+        # hot-basket cap applied (slice to 20 items) — the documented
+        # remedy for power-law baskets
+        from post_modern_stack_spark.functions import json_get
+
+        ev = load().select(
+            "user_id",
+            F.expr("ts_ns DIV 86400000000000").alias("day"),
+            json_get("props", "k", "long").alias("k"),
+        )
+        baskets = ev.groupBy("user_id", "day").agg(
+            F.slice(F.array_sort(F.collect_set("k")), 1, 20).alias("parts")
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """
+                        transform(parts, (x, i) ->
+                            transform(slice(parts, i + 2, size(parts)), y ->
+                                struct(x AS a, y AS b)))
+                        """
+                    )
+                )
+            ).alias("p")
+        )
+        return (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+        )
+
+    def pagerank_transitions():
+        # item-transition PageRank, 3 iterations, 100k-item domain —
+        # the iterative join+agg pattern with bounded-catalog broadcast
+        from pyspark.sql import Window
+
+        from post_modern_stack_spark.operators.graph import pagerank
+
+        ev = load().select(
+            "user_id", "ts_ns", "event_id",
+            F.pmod(F.xxhash64("props"), F.lit(100_000)).alias("item"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        edges = (
+            ev.withColumn("nxt", F.lead("item").over(w))
+            .filter(F.col("nxt").isNotNull() & (F.col("item") != F.col("nxt")))
+            .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+        )
+        return pagerank(edges, iters=3, broadcast_ranks=True)
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
@@ -218,6 +312,10 @@ def probe_queries(spark, path: str):
         "salted_join_agg": salted_join_agg,
         "cdc_apply": cdc_apply,
         "scd2_runs": scd2_runs,
+        "sliding_distinct_users": sliding_distinct_users,
+        "group_sample_bottomk": group_sample_bottomk,
+        "basket_pairs": basket_pairs,
+        "pagerank_transitions": pagerank_transitions,
     }
 
 
@@ -279,6 +377,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[1_000_000, 10_000_000])
     ap.add_argument("--users-frac", type=float, default=0.001)
+    ap.add_argument("--only", type=str, default=None,
+                    help="regex filter on probe names")
     ap.add_argument(
         "--docs",
         type=int,
@@ -298,6 +398,8 @@ def main() -> None:
             path = f"{base}/events_{n}"
             synthesize(spark, n, max(int(n * args.users_frac), 10), path)
             for name, build in probe_queries(spark, path).items():
+                if args.only and not re.search(args.only, name):
+                    continue
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 2)
@@ -306,6 +408,8 @@ def main() -> None:
             path = f"{base}/docs_{n}"
             synthesize_docs(spark, n, path)
             for name, build in probe_text_queries(spark, path).items():
+                if args.only and not re.search(args.only, name):
+                    continue
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 2)
