@@ -325,3 +325,154 @@ def contamination_pairs(
         .groupBy("corpus_doc_id", "benchmark_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def substring_dup_share(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    hashed_keys: bool = True,
+) -> DataFrame:
+    """Span-level duplication measure: per document, the fraction of
+    its DISTINCT token n-grams that also occur in at least one other
+    document — the doc-grain summary of substring-level dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, which drops repeated >=50-token spans; n=8 here
+    for the tiny synthetic vocabulary).
+
+    Scale shape: grams stay inside the array (transform over a
+    sequence, no position explode), each doc contributes each gram
+    once (distinct at doc grain bounds hot-gram fan-out), and the
+    cross-doc frequency comes from a count window over the gram
+    partition — ONE exchange on the gram key instead of a
+    groupBy + join-back (which would shuffle the gram set twice).
+    With ``hashed_keys`` the exchange moves 8-byte xxhash64 keys, not
+    gram strings (collision odds ~ (#grams)^2 / 2^64 — negligible).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    per_gram = (
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .select(
+            "doc_id",
+            (F.xxhash64("ngram") if hashed_keys else F.col("ngram")).alias("gkey"),
+        )
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("gkey"))
+    return (
+        per_gram.withColumn("ndocs", ndocs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("ndocs") > 1).cast("bigint")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_share"),
+        )
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language-model scoring: train token frequencies on the
+    corpus itself, then score each document's mean token log-probability
+    — the cheap perplexity proxy used to rank documents for quality
+    filtering (CCNet-style, before a real KenLM pass).
+
+    Scale shape: term frequencies collapse to (doc, token, tf) grain
+    before any join; the trained vocab is a token-grain aggregate
+    (small by Heaps' law even at corpus scale) and broadcasts, so the
+    scoring join is shuffle-free on the fact side; the final doc-grain
+    agg reuses the (doc) key. log computed once per (doc, token), not
+    per occurrence.
+    """
+    tf = (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        tf.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("p"))) / F.sum("tf"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    key_len: int = 12,
+) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution: documents
+    sorted under a normalized blocking key, candidate pairs drawn only
+    from each record's ``window`` successors in that order, scored by
+    token-set Jaccard. The O(n*w) alternative to a quadratic self-join.
+
+    Scale shape: the block key is the shuffle partition key, so each
+    block's neighborhood walk is a local window (no global sort, no
+    single-partition stage); token arrays ride the window as lead()
+    payloads only for w rows. Pairs never materialize outside the
+    window projection.
+    """
+    from pyspark.sql import Window
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""), 1, key_len
+    )
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    base = df.select(
+        "doc_id", key.alias("block_key"), toks.alias("tok")
+    )
+    w = Window.partitionBy("block_key").orderBy("doc_id")
+    pairs = base.select(
+        "block_key",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tok").alias("tok_a"),
+        *[F.lead("doc_id", i).over(w).alias(f"_id{i}") for i in range(1, window + 1)],
+        *[F.lead("tok", i).over(w).alias(f"_tok{i}") for i in range(1, window + 1)],
+    )
+    stacked = pairs.select(
+        "block_key",
+        "doc_id_a",
+        "tok_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_id{i}").alias("doc_id_b"),
+                        F.col(f"_tok{i}").alias("tok_b"),
+                    )
+                    for i in range(1, window + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).filter(F.col("nb.doc_id_b").isNotNull())
+    inter = F.size(F.array_intersect("tok_a", F.col("nb.tok_b")))
+    union = F.size(F.array_union("tok_a", F.col("nb.tok_b")))
+    return stacked.select(
+        "block_key",
+        "doc_id_a",
+        F.col("nb.doc_id_b").alias("doc_id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )

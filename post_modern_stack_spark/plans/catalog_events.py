@@ -880,3 +880,98 @@ def q_item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY item
         """
     )
+
+
+@query(
+    "kfold_assign",
+    oracle="""
+    WITH folded AS (
+        SELECT ((user_id * 2654435761 + 40503) % 1000003) % 5 AS fold,
+               event_type,
+               user_id,
+               value
+        FROM events
+    )
+    SELECT fold,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(value), 4) AS avg_value
+    FROM folded
+    GROUP BY fold, event_type
+    """,
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split for cross-validation: fold =
+    arithmetic-hash(user_id) mod 5, so assignment is reproducible
+    across engines and partitionings (same multiplicative-hash idiom as
+    negative sampling — xxhash64 would differ from the oracle). All of
+    a user's events land in one fold (grouped CV, no leakage across
+    folds). Single hash-agg pass; no shuffle before the agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        (F.col("user_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1000003)
+    ) % F.lit(5)
+    return (
+        ev.select(fold.alias("fold"), "event_type", "user_id", "value")
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT CAST(least(floor((value - lo) / (hi - lo) * 20), 19)
+                    AS BIGINT) AS bin,
+               lo, hi
+        FROM events, bounds
+    )
+    SELECT bin,
+           count(*) AS n,
+           round(any_value(lo) + bin * (any_value(hi) - any_value(lo)) / 20,
+                 4) AS bin_lo,
+           round(any_value(lo) + (bin + 1)
+                 * (any_value(hi) - any_value(lo)) / 20, 4) AS bin_hi
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values: global min/max is a
+    one-row aggregate broadcast under the binning projection (the
+    two-pass profile every column-profiler runs). Bin arithmetic is
+    identical IEEE double math in both engines, so bin edges hash-match
+    exactly. One full-scan agg + one hash-agg on the 20 bin keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+            F.lit(19),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / 20, 4
+        ).alias("bin_lo"),
+        F.round(
+            F.first("lo") + (F.col("bin") + 1) * (F.first("hi") - F.first("lo")) / 20,
+            4,
+        ).alias("bin_hi"),
+    )

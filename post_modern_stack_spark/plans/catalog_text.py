@@ -723,3 +723,110 @@ def q_udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, gram, n, rnk FROM counted WHERE rnk <= 5
         """
     )
+
+
+@query(
+    "substring_dup_share",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 8 + 2),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS ngram
+        FROM toks WHERE len(t) >= 8
+    ),
+    freq AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY ngram) AS ndocs
+        FROM grams
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_share
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def q_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 span-level dedup measure: share of each doc's distinct token
+    8-grams that recur in other docs (Lee et al. 2022 substring dedup,
+    doc-grain summary). Oracle keys grams by string; engine keys the
+    single gram-grain exchange by xxhash64 (collision-negligible)."""
+    return textstats.substring_dup_share(
+        load_table(spark, sf_dir, "documents"), n=8, hashed_keys=True
+    )
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tfc AS (
+        SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token
+    ),
+    vocab AS (
+        SELECT token, sum(tf) AS cnt FROM tfc GROUP BY token
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    probs AS (
+        SELECT token, cnt::DOUBLE / total AS p FROM vocab, tot
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(p)) / sum(tf), 6) AS avg_logprob
+    FROM tfc JOIN probs USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 unigram-LM quality scoring (CCNet-style perplexity proxy):
+    corpus-trained token probabilities, per-doc mean log-prob. Vocab
+    aggregate broadcasts; scoring join is shuffle-free on the fact
+    side."""
+    return textstats.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                         1, 12) AS block_key,
+               list_distinct(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY block_key ORDER BY doc_id)
+                   AS rn
+        FROM base
+    )
+    SELECT a.block_key,
+           a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 6)
+               AS jaccard
+    FROM ranked a
+    JOIN ranked b
+      ON a.block_key = b.block_key
+     AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+    """,
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking: sorted-neighborhood candidate pairs
+    (w=3 successors inside each normalized block key), token-Jaccard
+    scored. O(n*w) per block, never a quadratic self-join; the block
+    key is the shuffle key so the walk is a local window."""
+    return textstats.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), window=3, key_len=12
+    )

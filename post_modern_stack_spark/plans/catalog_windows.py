@@ -436,3 +436,102 @@ def q_deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("smp_rank", F.row_number().over(w))
         .filter(F.col("smp_rank") <= 5)
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id,
+               user_id,
+               value,
+               count(*)    OVER w AS n_frame,
+               avg(value)  OVER w AS mu,
+               stddev_samp(value) OVER w AS sd
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           user_id,
+           value,
+           round((value - mu) / sd, 4) AS zscore
+    FROM scored
+    WHERE n_frame = 7
+      AND sd > 1e-9
+      AND abs((value - mu) / sd) > 2.5
+    """,
+)
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: per-user rolling 7-event
+    mean/stddev, flag |z| > 2.5 — the monitoring primitive behind
+    metric-outlier alerts, expressed as one ROWS frame.
+
+    One shuffle on user_id; all three frame aggregates share the same
+    sorted frame (single window pass). Only full frames score, so the
+    first 6 events per user never alert on noise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.filter(
+        (F.col("n_frame") == 7) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+    ).select("event_id", "user_id", "value", F.round(z, 4).alias("zscore"))
+
+
+@query(
+    "winsorized_values",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(avg(e.value), 4) AS avg_raw,
+           round(avg(least(greatest(e.value, th.p05), th.p99)), 4)
+               AS avg_winsorized,
+           round(any_value(th.p05), 4) AS p05,
+           round(any_value(th.p99), 4) AS p99
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust feature prep: clip values to per-type exact
+    [p05, p99] (winsorization), report mean shift. The threshold table
+    is a tiny per-type aggregate — broadcast, so the clipping join adds
+    no exchange; the final agg reuses the event_type key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_raw"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p99"), 4).alias("p99"),
+        )
+    )
