@@ -5,13 +5,14 @@
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
 metadata propagation — is real and tested. Codec status: these decode
 FOR REAL in pure numpy + stdlib (parser + pixel/sample math below,
-round-trip-tested): **PNG** (zlib DEFLATE inflate, all five scanline
-filters reconstructed per spec §9, gray/RGB/RGBA/palette), 24-bit BMP,
-P6 PPM, PCM-16 WAV, and **G.711 µ-law / A-law** companded WAV (the
-real 2:1 telephony codec, ITU-T expand tables). Codecs whose entropy
-coders aren't in the stdlib (JPEG/MP3/MP4) stay stubbed —
-deterministic digest fake by default, ``NotImplementedError`` when
-``require_real_codecs=True``.
+round-trip-tested): **JPEG** (baseline T.81 — Huffman entropy coder,
+DCT, 4:2:0, see ``operators/jpeg.py``), **PNG** (zlib DEFLATE inflate,
+all five scanline filters reconstructed per spec §9,
+gray/RGB/RGBA/palette), GIF (LZW), 24-bit BMP, P6 PPM, PCM-16 WAV, and
+**G.711 µ-law / A-law** companded WAV (the real 2:1 telephony codec,
+ITU-T expand tables). Only MP3/MP4 — whose entropy coders genuinely
+exceed stdlib reach — stay stubbed: deterministic digest fake by
+default, ``NotImplementedError`` when ``require_real_codecs=True``.
 
 Design for 100 TB: media bytes ride in parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
@@ -682,12 +683,16 @@ def audio_features(samples, rate: int) -> list[float]:
 
 def _decode_and_featurize(content: bytes, kind: str, require_real_codecs: bool):
     """Codec dispatch by magic bytes. REAL pure-numpy decoders cover
-    PNG (zlib DEFLATE + all 5 scanline filters), 24-bit BMP, P6 PPM,
-    PCM-16 WAV, and G.711 µ-law/A-law compressed WAV; codecs whose
-    entropy coders aren't in the stdlib (JPEG/MP3/MP4) remain stubbed —
-    with ``require_real_codecs=True`` they raise instead of falling
-    back to the deterministic digest fake."""
+    baseline JPEG, PNG (zlib DEFLATE + all 5 scanline filters), GIF,
+    24-bit BMP, P6 PPM, PCM-16 WAV, and G.711 µ-law/A-law compressed
+    WAV; only MP3/MP4 remain stubbed — with ``require_real_codecs=True``
+    they raise instead of falling back to the deterministic digest
+    fake."""
     content = content or b""
+    if content[:3] == b"\xff\xd8\xff":
+        from post_modern_stack_spark.operators.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(content))
     if content[:6] in (b"GIF87a", b"GIF89a"):
         frames, _delays = decode_gif(content)
         return image_features(frames[0])  # keyframe descriptor
@@ -706,9 +711,9 @@ def _decode_and_featurize(content: bytes, kind: str, require_real_codecs: bool):
         return image_features(decode_ppm(content))
     if require_real_codecs:
         raise NotImplementedError(
-            "media codecs without stdlib entropy coders (JPEG/MP3/MP4) are "
-            "unavailable in this environment; PNG/BMP/PPM/WAV(PCM+G.711) "
-            "decode natively"
+            "media codecs without stdlib entropy coders (MP3/MP4) are "
+            "unavailable in this environment; JPEG/PNG/GIF/BMP/PPM/"
+            "WAV(PCM+G.711) decode natively"
         )
     digest = hashlib.sha256(content).digest()
     return [
@@ -856,9 +861,10 @@ def resize_media(
     media: DataFrame, out_h: int = 4, out_w: int = 4, require_real_codecs: bool = True
 ) -> DataFrame:
     """Thumbnail pipeline over binary image columns: decode (real codec
-    for PNG/BMP/PPM) → nearest-neighbor resize → re-encode in the input
-    format (PNG stays PNG through the real zlib encoder, BMP/PPM emit
-    BMP). mapInPandas iterator API — record batches stream through,
+    for JPEG/PNG/BMP/PPM) → nearest-neighbor resize → re-encode in the
+    input format (JPEG stays JPEG through the real baseline coder, PNG
+    stays PNG through the real zlib encoder, BMP/PPM emit BMP).
+    mapInPandas iterator API — record batches stream through,
     constant memory per task; output is again an opaque binary column,
     so the op composes with media_dedup / extract_features downstream."""
 
@@ -870,14 +876,24 @@ def resize_media(
                 if c[:8] == b"\x89PNG\r\n\x1a\n":
                     out.append(encode_png(resize_image(decode_png(c), out_h, out_w)))
                     continue
+                if c[:3] == b"\xff\xd8\xff":
+                    from post_modern_stack_spark.operators.jpeg import (
+                        decode_jpeg,
+                        encode_jpeg,
+                    )
+
+                    out.append(
+                        encode_jpeg(resize_image(decode_jpeg(c), out_h, out_w))
+                    )
+                    continue
                 if c[:2] == b"BM":
                     img = decode_bmp(c)
                 elif c[:2] == b"P6":
                     img = decode_ppm(c)
                 elif require_real_codecs:
                     raise NotImplementedError(
-                        "resize_media: only PNG/BMP/PPM decode natively in "
-                        "this environment"
+                        "resize_media: only JPEG/PNG/BMP/PPM decode natively "
+                        "in this environment"
                     )
                 else:
                     out.append(None)

@@ -358,3 +358,63 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
     return sample_frames(media, every_ms=40)
+
+
+@query("media_jpeg_pipeline")  # rows-only: JPEG byte assembly not SQL-expressible
+def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with the REAL baseline JPEG codec (T.81 Huffman + DCT, pure
+    numpy — operators/jpeg.py): per document, a deterministic 16×16
+    RGB image (digest noise over a gradient) is encoded as genuine
+    4:2:0 baseline JPEG (16×16 = exactly one MCU plus chroma
+    subsampling, so decode exercises the interleaved-MCU and upsample
+    paths, not just 4:4:4), thumbnailed 8×8 by resize_media
+    (decode → NN-resize → re-encode JPEG), and fingerprinted. Any
+    fallback to the digest fake fails the query (strict codecs)."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.jpeg import encode_jpeg
+    from post_modern_stack_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad = np.tile(
+            np.arange(16, dtype=np.uint16)[:, None, None] * 12, (1, 16, 3)
+        )
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                d = b"".join(
+                    _hl.sha256(t.encode() + bytes([i])).digest() for i in range(24)
+                )
+                noise = np.frombuffer(d[:768], dtype=np.uint8).reshape(16, 16, 3)
+                img = ((grad + (noise >> 3)) & 0xFF).astype(np.uint8)
+                content.append(encode_jpeg(img, quality=85, subsample=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": content,
+                    "mime": "image/jpeg",
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    thumbs = resize_media(media, out_h=8, out_w=8)
+    return thumbs.select(
+        "media_id",
+        "out_h",
+        "out_w",
+        F.length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("thumb_sha"),
+    )

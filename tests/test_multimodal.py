@@ -107,10 +107,11 @@ def test_extract_features_real_codecs_through_spark(spark):
     assert np.allclose(got[1], want_img, atol=1e-5)
     assert np.allclose(got[2], want_wav, atol=1e-5)
 
-    # compressed/unknown formats still refuse loudly in strict mode
+    # genuinely-stubbed formats (MP3 here) still refuse loudly in
+    # strict mode — JPEG no longer qualifies, it decodes for real
     bad = spark.createDataFrame(
-        [Row(media_id=3, kind="image", content=bytearray(b"\xff\xd8\xff\xe0JFIF.."),
-             mime="image/jpeg", width=None, height=None, duration_ms=None)],
+        [Row(media_id=3, kind="audio", content=bytearray(b"ID3\x04\x00....."),
+             mime="audio/mpeg", width=None, height=None, duration_ms=None)],
         mm.MEDIA_SCHEMA,
     )
     import pytest
@@ -433,3 +434,109 @@ def test_extract_features_gif_keyframe(spark):
     )
     row = mm.extract_features(media, require_real_codecs=True).collect()[0]
     assert np.allclose(row["features"], mm.image_features(frames[0]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_dct_matches_spec_reference():
+    """Fast matrix DCT must equal the direct O(N^4) T.81 A.3.3 formula
+    — guards against a complementary encode/decode transform bug."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    blk = rng.uniform(-128, 127, (8, 8))
+    assert np.abs(jpeg.fdct8x8(blk) - jpeg.fdct8x8_reference(blk)).max() < 1e-9
+    assert np.abs(jpeg.idct8x8(jpeg.fdct8x8(blk)) - blk).max() < 1e-9
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from post_modern_stack_spark.operators import jpeg
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+    ).astype(np.uint8)
+
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 35.0
+
+    dec420 = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75, subsample=True))
+    assert dec420.shape == img.shape
+    mse = np.mean((dec420.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 28.0
+
+
+def test_jpeg_constant_image_is_exact():
+    import numpy as np
+
+    from post_modern_stack_spark.operators import jpeg
+
+    c = np.full((16, 24, 3), 128, np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(c, quality=90))
+    assert np.abs(dec.astype(int) - 128).max() == 0
+
+
+def test_jpeg_nonmultiple_of_mcu_dims():
+    """Edge padding must not leak into the cropped output region."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.int64).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95, subsample=True))
+    assert dec.shape == (19, 21, 3)
+
+
+def test_jpeg_progressive_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from post_modern_stack_spark.operators import jpeg
+
+    enc = bytearray(jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_spark_pipeline_strict(spark):
+    """resize_media + featurize over real JPEG bytes in Spark — strict
+    codecs, so any digest-fake fallback fails."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8)
+        rows.append(
+            Row(
+                media_id=i,
+                kind="image",
+                content=bytearray(jpeg.encode_jpeg(img, subsample=bool(i % 2))),
+                mime="image/jpeg",
+                width=16,
+                height=16,
+                duration_ms=None,
+            )
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, require_real_codecs=True).collect()
+    assert len(feats) == 6
+    assert all(len(r.features) == MM.FEATURE_DIM for r in feats)
+    thumbs = MM.resize_media(media, out_h=8, out_w=8).collect()
+    assert len(thumbs) == 6
+    for r in thumbs:
+        out = jpeg.decode_jpeg(bytes(r.content))
+        assert out.shape == (8, 8, 3)
