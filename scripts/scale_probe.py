@@ -300,6 +300,55 @@ def probe_queries(spark, path: str):
         )
         return pagerank(edges, iters=3, broadcast_ranks=True)
 
+    def rolling_zscore():
+        from pyspark.sql import Window
+
+        ev = load()
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_ns", "event_id")
+            .rowsBetween(-6, Window.currentRow)
+        )
+        scored = ev.select(
+            "event_id", "user_id", "value",
+            F.count(F.lit(1)).over(w).alias("n_frame"),
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        z = (F.col("value") - F.col("mu")) / F.col("sd")
+        return scored.filter(
+            (F.col("n_frame") == 7) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+        ).select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
+
+    def winsorize_by_type():
+        ev = load()
+        th = ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.05)).alias("p05"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p99"))
+        return (
+            ev.join(F.broadcast(th), "event_type")
+            .groupBy("event_type")
+            .agg(F.avg("value").alias("avg_raw"), F.avg(clipped).alias("avg_w"))
+        )
+
+    def histogram_20bin():
+        ev = load()
+        bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        return (
+            ev.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.floor((F.col("value") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo")) * 20),
+                    F.lit(19),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .count()
+        )
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
@@ -316,6 +365,9 @@ def probe_queries(spark, path: str):
         "group_sample_bottomk": group_sample_bottomk,
         "basket_pairs": basket_pairs,
         "pagerank_transitions": pagerank_transitions,
+        "rolling_zscore": rolling_zscore,
+        "winsorize_by_type": winsorize_by_type,
+        "histogram_20bin": histogram_20bin,
     }
 
 
@@ -370,6 +422,9 @@ def probe_text_queries(spark, path: str):
             load().filter(F.col("doc_id") % 10 == 0),
         ),
         "text_stats": lambda: textstats.text_stats(load()),
+        "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
+        "unigram_logprob": lambda: textstats.unigram_logprob(load()),
+        "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
     }
 
 
