@@ -975,3 +975,166 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bin_hi"),
     )
+
+
+@query(
+    "mode_event_type",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type ASC) AS rk
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, cnt AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent event_type per user,
+    ties broken lexicographically (Spark's ``mode()`` is
+    tie-nondeterministic, so engines can't agree on it — the count +
+    min_by-struct form is the portable distributed mode). Hash agg at
+    (user, type) grain, then a second agg at user grain via min_by on
+    a (-cnt, event_type) ordering struct — no window sort, two
+    map-side-combinable exchanges.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # min_by over (-cnt, event_type): highest count wins, ties fall to
+    # the lexicographically smallest type — one ordering key serves both
+    picked = counts.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("event_type"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("event_type")),
+        ).alias("m")
+    )
+    return picked.select(
+        "user_id",
+        F.col("m.event_type").alias("mode_event_type"),
+        F.col("m.cnt").alias("n_events"),
+    )
+
+
+@query(
+    "drift_psi",
+    oracle="""
+    WITH span AS (
+        SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+    ),
+    halves AS (
+        SELECT event_type,
+               CASE WHEN epoch_ms(ts) < (lo + hi) / 2 THEN 0 ELSE 1 END AS half,
+               CAST(least(floor(value / 25.0), 3) AS BIGINT) AS bin
+        FROM events, span
+    ),
+    dist AS (
+        SELECT event_type, half, bin, count(*) AS c
+        FROM halves GROUP BY event_type, half, bin
+    ),
+    tot AS (
+        SELECT event_type, half, sum(c) AS t FROM dist GROUP BY event_type, half
+    ),
+    p AS (
+        SELECT d.event_type, d.bin,
+               max(CASE WHEN d.half = 0 THEN d.c::DOUBLE / t.t END) AS p0,
+               max(CASE WHEN d.half = 1 THEN d.c::DOUBLE / t.t END) AS p1
+        FROM dist d JOIN tot t ON d.event_type = t.event_type AND d.half = t.half
+        GROUP BY d.event_type, d.bin
+    )
+    SELECT event_type,
+           round(sum((coalesce(p1, 0.0001) - coalesce(p0, 0.0001))
+                     * ln(coalesce(p1, 0.0001) / coalesce(p0, 0.0001))), 6)
+               AS psi
+    FROM p
+    GROUP BY event_type
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: compare each event
+    type's value distribution between the first and second half of the
+    time range (fixed 25-unit bins, capped at bin 3; absent bins get
+    the standard 1e-4 floor). The monitoring primitive behind
+    feature-drift alerts. Two hash aggs on (type, half, bin) grain +
+    a tiny pivot at bin grain — the fact table is scanned once; the
+    1-row span aggregate broadcasts under the binning projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    halves = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(F.col("ts_ms") < (F.col("lo") + F.col("hi")) / 2, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+        F.least(F.floor(F.col("value") / 25.0), F.lit(3))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    dist = halves.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = dist.groupBy("event_type", "half").agg(F.sum("c").alias("t"))
+    p = (
+        dist.join(tot, ["event_type", "half"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("c") / F.col("t"))).alias("p0"),
+            F.max(F.when(F.col("half") == 1, F.col("c") / F.col("t"))).alias("p1"),
+        )
+    )
+    eps = F.lit(0.0001)
+    p0 = F.coalesce(F.col("p0"), eps)
+    p1 = F.coalesce(F.col("p1"), eps)
+    return p.groupBy("event_type").agg(
+        F.round(F.sum((p1 - p0) * F.log(p1 / p0)), 6).alias("psi")
+    )
+
+
+@query(
+    "item_triangles",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               lead(CAST(json_extract(props, '$.k') AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   AS nxt
+        FROM events
+    ),
+    und AS (
+        SELECT DISTINCT least(item, nxt) AS a, greatest(item, nxt) AS b
+        FROM seq WHERE nxt IS NOT NULL AND item <> nxt
+    )
+    SELECT count(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle count over the item-transition graph
+    (consecutive events' props.k per user → undirected edges). Engine
+    uses the degree-ordered orientation (operators/graph.triangle_count
+    — Suri & Vassilvitskii WW'11) so hub fan-out in the path join is
+    bounded at power-law scale; the oracle's naive canonical 3-join
+    counts the same triangles because each triangle is counted exactly
+    once under either edge orientation scheme.
+    """
+    from post_modern_stack_spark.operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    seq = ev.select("user_id", item.alias("item"), "ts_ns", "event_id").withColumn(
+        "nxt", F.lead("item").over(w)
+    )
+    edges = seq.filter(
+        F.col("nxt").isNotNull() & (F.col("item") != F.col("nxt"))
+    ).select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+    return triangle_count(edges)

@@ -222,3 +222,56 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "m4_downsample",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               epoch_ms(ts) // 3600000 AS bucket,
+               value,
+               lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        FROM events
+    )
+    SELECT event_type,
+           bucket,
+           count(*) AS n,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           arg_min(value, ord) AS v_first,
+           arg_max(value, ord) AS v_last
+    FROM keyed
+    GROUP BY event_type, bucket
+    """,
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (min/max/first/last per pixel
+    bucket — the error-free line-chart reduction from Jugel et al.,
+    VLDB'14): hourly buckets per event_type series. One hash agg, no
+    window sort; first/last ride min_by/max_by on a zero-padded
+    (ts_ns, event_id) string key so ties break identically in any
+    engine and under any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.concat(
+        F.lpad(F.col("ts_ns").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            (F.col("ts_ms") / F.lit(3600000)).cast("bigint").alias("bucket"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "ord").alias("v_first"),
+            F.max_by("value", "ord").alias("v_last"),
+        )
+    )

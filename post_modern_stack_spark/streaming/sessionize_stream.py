@@ -308,3 +308,35 @@ def write_stream_parquet(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def windowed_approx_distinct(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """J4 + K6 combined: watermarked tumbling windows carrying an
+    HyperLogLog++ distinct-user estimate alongside exact counts — the
+    streaming analog of the batch ``approx_sketches`` query. The HLL
+    register set is the window's aggregation state (KBs per window, so
+    state size is bounded by windows retained under the watermark, not
+    by distinct-key cardinality — the reason approx wins over
+    ``collect_set`` at 100 TB). Same expression runs on a static frame
+    for the batch-parity test.
+    """
+    wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )

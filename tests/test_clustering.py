@@ -165,3 +165,33 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_triangle_count_known_graphs(spark):
+    """Hand-verifiable graphs: K4 has 4 triangles; adding a pendant
+    edge or duplicate/reversed/self-loop edges must change nothing."""
+    from post_modern_stack_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(1, 0), (2, 2), (0, 1), (3, 9)]  # reversed dup, loop, dup, pendant
+    df = spark.createDataFrame(k4 + noise, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_matches_numpy_on_random_graph(spark):
+    """Random graph with a hub (skew): engine count == trace(A^3)/6."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(19)
+    n = 30
+    a = np.triu((rng.random((n, n)) < 0.15), k=1)
+    a[0, 1:] = True  # vertex 0 is a hub — exercises the orientation
+    adj = (a | a.T).astype(np.int64)
+    want = int(np.trace(np.linalg.matrix_power(adj, 3)) // 6)
+    edges = [(int(i), int(j)) for i in range(n) for j in range(n) if a[i, j]]
+    got = triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()[0][
+        "n_triangles"
+    ]
+    assert got == want and want > 0

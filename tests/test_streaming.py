@@ -308,3 +308,34 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
 
     with pytest.raises(ValueError):
         enrich_stream.enrich_events(stream, dims, how="full")
+
+
+def test_windowed_approx_distinct_batch_stream_parity(spark, events_dir):
+    """HLL sketches merge deterministically, so the streaming estimate
+    must EQUAL the batch estimate for every emitted window (same
+    algorithm, same rsd — not just 'close')."""
+    stream = S.stream_events(spark, events_dir)
+    got = _run_to_memory(
+        spark, S.windowed_approx_distinct(stream, "6 hours"), "win_hll"
+    ).toPandas()
+
+    batch = S.windowed_approx_distinct(
+        load_table(spark, SF, "events"), "6 hours"
+    ).toPandas()
+
+    key = ["window_start", "window_end", "event_type"]
+    cols = key + ["n_events", "approx_users"]
+    bmap = {tuple(r[:3]): tuple(r[3:]) for r in batch[cols].values.tolist()}
+    gmap = {tuple(r[:3]): tuple(r[3:]) for r in got[cols].values.tolist()}
+    assert len(gmap) > 0
+    assert set(gmap) <= set(bmap)
+    for k, v in gmap.items():
+        assert v == bmap[k], (k, v, bmap[k])
+    # the estimate is a real estimate of a real cardinality
+    exact = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    )
+    assert all(r["exact"] > 0 for r in exact)
