@@ -382,3 +382,130 @@ def quantize_int8(
         F.concat_ws(" ", "_q").alias("codes"),
         recon_err.alias("recon_l2_err"),
     )
+
+
+def pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    refine_factor: int = 3,
+) -> DataFrame:
+    """Approximate top-K via product quantization (PQ, Jégou et al.
+    TPAMI'11) — the memory-compression scale path complementary to
+    IVF/LSH: at 100 TB the corpus's float vectors don't fit anywhere,
+    but ``m`` uint8 codes per vector (D·4 bytes → m bytes, e.g. 64×
+    smaller) do.
+
+    1. normalize + split each vector into ``m`` subvectors; train one
+       ``n_codes``-word codebook per subspace on a bounded sample
+       (driver numpy, same sampling contract as IVF);
+    2. encode the corpus — each vector becomes ``m`` small ints; the
+       float vector is no longer needed for scanning;
+    3. score by asymmetric distance (ADC): the query stays full
+       precision, each candidate's dot product is the sum of ``m``
+       codebook lookups — vectorized per Arrow batch via a gather +
+       einsum, never a per-row Python loop;
+    4. rerank the top ``k·refine_factor`` ADC candidates with exact
+       cosine (one broadcast-able join back to the corpus by id) so
+       the output ranking uses true scores — the standard
+       PQ-then-refine pipeline.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — same contract as
+    brute_force_top_k, self-matches excluded.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # --- train per-subspace codebooks on a bounded normalized sample
+    n = corpus.count()
+    cap = 10_000
+    frac = min(1.0, cap / max(n, 1))
+    rows = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=42)
+        .limit(cap)
+        .collect()
+    )
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(42)
+    books = []
+    for s in range(m):
+        xs = mat[:, s * sub : (s + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)].copy()
+        for _ in range(5):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cb)):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    books_arr = np.stack(books)  # (m, n_codes, sub)
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = ((xs[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        q = np.vstack(qv.to_numpy()).astype(np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        c = np.vstack(codes.to_numpy()).astype(np.int64)
+        score = np.zeros(len(q))
+        for s in range(m):
+            qs = q[:, s * sub : (s + 1) * sub]
+            score += np.einsum("nd,nd->n", qs, books_arr[s][c[:, s]])
+        return pd.Series(score)
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc(F.col("qv"), F.col("codes")))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    cands = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("adc"), F.asc("neighbor_id")],
+        k * refine_factor,
+    ).select("query_id", "neighbor_id")
+    # exact rerank on the candidate set only
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv2")
+    )
+    exact = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_sim", F.round(cosine_similarity("qv2", "cv"), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return top_k_per_group(
+        exact,
+        ["query_id"],
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")

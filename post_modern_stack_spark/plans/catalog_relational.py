@@ -1761,3 +1761,80 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         orders, ["o_orderpriority"], "wt", "o_orderkey", 10
     ).select("o_orderpriority", "o_orderkey", "smp_rank")
+
+
+@query(
+    "reconcile_orders_lineitem",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS okey, o_totalprice AS expect_total
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    l AS (
+        SELECT l_orderkey AS okey,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS got_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT coalesce(o.okey, l.okey) AS okey,
+           CASE
+               WHEN o.okey IS NULL THEN 'missing_in_source'
+               WHEN l.okey IS NULL THEN 'missing_in_target'
+               WHEN abs(o.expect_total - l.got_total) > 0.01 * o.expect_total
+                   THEN 'value_mismatch'
+               ELSE 'ok'
+           END AS status,
+           round(o.expect_total, 2) AS expect_total,
+           l.got_total
+    FROM o FULL OUTER JOIN l ON o.okey = l.okey
+    WHERE o.okey IS NULL OR l.okey IS NULL
+       OR abs(o.expect_total - l.got_total) > 0.01 * o.expect_total
+    """,
+)
+def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/target reconciliation — the validation join every CDC /
+    migration pipeline runs: FULL OUTER join of the order header total
+    against the recomputed lineitem total, classifying each key as
+    missing on either side or drifted beyond 1%. (A filtered orders
+    side guarantees 'missing_in_source' rows exist on the synthetic
+    data.) FULL OUTER requires a shuffle on both sides — no broadcast
+    path exists in any engine — so both inputs pre-aggregate/project
+    to key grain BEFORE the join; the exchange then moves two narrow
+    key-grain relations, not facts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("okey_o"),
+        F.col("o_totalprice").alias("expect_total_raw"),
+    )
+    l = li.groupBy(F.col("l_orderkey").alias("okey_l")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("got_total")
+    )
+    j = o.join(l, o["okey_o"] == l["okey_l"], "full_outer")
+    status = (
+        F.when(F.col("okey_o").isNull(), F.lit("missing_in_source"))
+        .when(F.col("okey_l").isNull(), F.lit("missing_in_target"))
+        .when(
+            F.abs(F.col("expect_total_raw") - F.col("got_total"))
+            > 0.01 * F.col("expect_total_raw"),
+            F.lit("value_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("okey_o"), F.col("okey_l")).alias("okey"),
+            status.alias("status"),
+            F.round(F.col("expect_total_raw"), 2).alias("expect_total"),
+            "got_total",
+        )
+        .filter(F.col("status") != "ok")
+    )

@@ -315,3 +315,16 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector symmetric scale, half-away rounding on both engines, so
     the codes are hash-identical (operators/similarity.quantize_int8)."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("pq_top_k")  # rows-only: approximate by design (codebook quantization)
+def q_pq_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path 3: product-quantization approximate top-K (m=8
+    subspaces × 64 codes → vectors scan as 8 bytes instead of D·4 —
+    32× compression at dim 64; ADC scoring + exact rerank of 6k
+    candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.pq_top_k(
+        emb, queries, k=_K, m=8, n_codes=64, refine_factor=6
+    )

@@ -114,3 +114,27 @@ def view_purchase_stream_join(
         ),
         how,
     ).select("p_user_id", "purchase_id", "purchase_value", "view_id", "v_ts")
+
+
+def dedup_then_windowed_counts(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4
+    multi-stateful pipelines): watermark-bounded exact dedup feeding a
+    tumbling-window aggregate — the at-least-once-feed → exactly-once-
+    metrics pipeline, without an intermediate sink. Both operators
+    share the event-time watermark; the dedup stage's state expires by
+    key horizon, the window stage's by window end. Batch degrades to
+    deterministic dedup + plain groupBy for the parity test.
+    """
+    from post_modern_stack_spark.streaming.sessionize_stream import (
+        windowed_event_counts,
+    )
+
+    deduped = dedup_events(events, keys=keys, watermark=watermark)
+    # the dedup stage already declared the event-time watermark; the
+    # window stage inherits it (re-declaring raises in Spark 4)
+    return windowed_event_counts(deduped, window=window, watermark=None)

@@ -62,14 +62,20 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     slide: str | None = None,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """J4 + J2: tumbling (or sliding) event-time aggregation with a
     watermark; identical semantics in batch (run on a static frame the
     window fn degrades to a plain groupBy — the parity test relies on
-    this)."""
+    this). ``watermark=None`` skips the ``withWatermark`` call for
+    upstream stages that already declared one (chained multi-stateful
+    queries re-declaring it is an AnalysisException)."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
-    wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    wm = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark is not None
+        else events
+    )
     return (
         wm.groupBy(win, "event_type")
         .agg(

@@ -241,3 +241,26 @@ def test_language_id_arrow_join_parity(spark):
         for r in textstats.language_id(d, prof, strategy="join").collect()
     }
     assert a and a == b
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ ADC + exact rerank must recover most of the exact top-5 —
+    refine-factor 3 reranks with true cosine, so recall is bounded only
+    by whether true neighbors survive the ADC cut."""
+    from post_modern_stack_spark.operators import similarity
+    from post_modern_stack_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_top_k(
+            emb, queries, k=5, m=8, n_codes=64, refine_factor=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall collapsed: {recall}"

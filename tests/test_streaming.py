@@ -339,3 +339,39 @@ def test_windowed_approx_distinct_batch_stream_parity(spark, events_dir):
         .collect()
     )
     assert all(r["exact"] > 0 for r in exact)
+
+
+def test_chained_dedup_window_multi_stateful(spark, events_dir, tmp_path):
+    """Two stateful operators chained in ONE streaming query: dedup
+    state + window state under a shared watermark. A duplicated feed
+    must produce the same emitted windows as batch dedup + agg on the
+    clean frame."""
+    import pathlib
+
+    from post_modern_stack_spark.streaming import dedup_stream as D
+
+    # duplicated feed: every file written twice
+    dup_dir = str(tmp_path / "dup_events")
+    src = spark.read.parquet(events_dir)
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    stream = S.stream_events(spark, dup_dir)
+    got = _run_to_memory(
+        spark,
+        D.dedup_then_windowed_counts(stream, window="6 hours"),
+        "dedup_win",
+    ).toPandas()
+
+    batch = D.dedup_then_windowed_counts(
+        load_table(spark, SF, "events"), window="6 hours"
+    ).toPandas()
+
+    key = ["window_start", "window_end", "event_type"]
+    cols = key + ["n_events", "total_value"]
+    bmap = {tuple(r[:3]): tuple(r[3:]) for r in batch[cols].values.tolist()}
+    gmap = {tuple(r[:3]): tuple(r[3:]) for r in got[cols].values.tolist()}
+    assert len(gmap) > 0
+    assert set(gmap) <= set(bmap)
+    for k, v in gmap.items():
+        assert v == bmap[k], (k, v, bmap[k])
