@@ -143,6 +143,11 @@ def triangle_count(edges, src: str = "src", dst: str = "dst"):
             .alias("e")
         )
         .select("e.s", "e.t")
+        # referenced 3× below (both path sides + the closing probe);
+        # without materialization Catalyst re-derives the whole
+        # dedupe+degree+orient pipeline per reference (measured 37
+        # shuffles vs 7 on the catalog query)
+        .localCheckpoint()
     )
     paths = (
         e.alias("e1")

@@ -407,6 +407,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # consumed twice (vocab training + scoring join); materialize so
+        # the (doc, token) explode+shuffle runs once, not per reference
+        .localCheckpoint()
     )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))

@@ -1079,9 +1079,12 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = halves.groupBy("event_type", "half", "bin").agg(
         F.count(F.lit(1)).alias("c")
     )
-    tot = dist.groupBy("event_type", "half").agg(F.sum("c").alias("t"))
+    # per-(type, half) totals as a window over the aggregate — a
+    # groupBy+join-back would re-derive dist (and re-scan events) for
+    # the second reference; the window keeps the fact scan single-pass
+    tw = Window.partitionBy("event_type", "half")
     p = (
-        dist.join(tot, ["event_type", "half"])
+        dist.withColumn("t", F.sum("c").over(tw))
         .groupBy("event_type", "bin")
         .agg(
             F.max(F.when(F.col("half") == 0, F.col("c") / F.col("t"))).alias("p0"),
