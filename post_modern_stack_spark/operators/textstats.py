@@ -486,3 +486,95 @@ def sorted_neighborhood_pairs(
         F.col("nb.doc_id_b").alias("doc_id_b"),
         F.round(inter / union, 6).alias("jaccard"),
     )
+
+
+def curate_documents(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    quality_min: float = 0.66,
+    dup_share_max: float = 0.8,
+    contam_n: int = 8,
+    budget_frac: float = 0.5,
+) -> dict[str, DataFrame]:
+    """End-to-end training-corpus curation — the five-stage pipeline
+    every LLM data run executes, composed from this module's operators
+    so each stage keeps its documented scale shape:
+
+    1. ``quality``  — heuristic quality filter (C4/Gopher rule family);
+    2. ``deduped``  — exact dedup, canonical = min doc_id per text;
+    3. ``near``     — substring-level near-dup removal: drop docs whose
+       distinct-8-gram duplication share ≥ ``dup_share_max`` (Lee et
+       al. 2022, doc-grain);
+    4. ``clean``    — benchmark decontamination: drop docs sharing any
+       ``contam_n``-gram with the benchmark set;
+    5. ``final``    — token budget: keep docs, in doc_id order, while
+       the running whitespace-token total stays within
+       ``budget_frac`` of the clean stage's total.
+
+    Returns the dict of stage DataFrames (shared prefixes are
+    localCheckpoint-ed so a downstream stage or a funnel count never
+    re-runs an upstream shuffle). Every stage is deterministic and
+    SQL-expressible, so the whole funnel is oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, text_col).filter(F.col("quality") >= quality_min)
+    quality = df.join(q.select("doc_id"), "doc_id").localCheckpoint()
+
+    deduped = exact_keep_min(quality, text_col).localCheckpoint()
+
+    shares = substring_dup_share(deduped, text_col, n=8)
+    near = (
+        deduped.join(
+            shares.filter(F.col("dup_share") < dup_share_max).select("doc_id")
+            .unionAll(
+                # docs too short to have any 8-gram never enter
+                # substring_dup_share; they are trivially not near-dups
+                deduped.filter(
+                    F.size(F.split(F.col(text_col), r"\s+")) < 8
+                ).select("doc_id")
+            ),
+            "doc_id",
+        )
+    ).localCheckpoint()
+
+    contaminated = (
+        contamination_pairs(near, benchmark, text_col, n=contam_n)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = near.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    total = clean.agg(F.sum(toks).alias("total"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    final = (
+        clean.crossJoin(F.broadcast(total))
+        .withColumn("running", F.sum(toks).over(w))
+        .filter(F.col("running") <= F.floor(F.col("total") * budget_frac))
+        .drop("running", "total")
+    )
+    return {
+        "input": df,
+        "quality": quality,
+        "deduped": deduped,
+        "near": near,
+        "clean": clean,
+        "final": final,
+    }
+
+
+def exact_keep_min(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the minimum doc_id row per text (the
+    canonical-survivor form of operators/dedup.exact_dedup, preserving
+    the full row). Shuffle key is the 32-byte sha2 digest."""
+    from pyspark.sql import Window
+
+    key = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

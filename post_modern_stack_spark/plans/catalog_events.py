@@ -715,10 +715,14 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is scanned once per stage with the event_type filter pushed
     to parquet."""
     ev = load_table(spark, sf_dir, "events")
+    # v and c are each consumed twice (next stage's join + the final
+    # count); they are user-grain and tiny, so materialize them once
+    # instead of re-scanning + re-aggregating the fact per reference
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -726,6 +730,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts_ns") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

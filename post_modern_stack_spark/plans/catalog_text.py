@@ -830,3 +830,120 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.sorted_neighborhood_pairs(
         load_table(spark, sf_dir, "documents"), window=3, key_len=12
     )
+
+
+@query(
+    "curation_funnel",
+    oracle="""
+    WITH input AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    stats AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS ldiv,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+                   / len(string_split(text, ' ')) AS stopr
+        FROM input
+    ),
+    quality AS (
+        SELECT doc_id, text, source, n_tokens FROM stats
+        WHERE round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN stopr > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN ldiv > 0.1 THEN 1 ELSE 0 END)) / 3.0, 6) >= 0.66
+    ),
+    deduped AS (
+        SELECT doc_id, text, source, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM deduped WHERE len(string_split(text, ' ')) >= 8
+    ),
+    shares AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM (SELECT doc_id, count(*) OVER (PARTITION BY g) AS cnt FROM grams)
+        GROUP BY doc_id
+    ),
+    near AS (
+        SELECT d.* FROM deduped d LEFT JOIN shares s USING (doc_id)
+        WHERE s.doc_id IS NULL
+           OR round(s.n_dup::DOUBLE / s.n_grams, 6) < 0.8
+    ),
+    bgrams AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM bench WHERE len(string_split(text, ' ')) >= 8
+    ),
+    cgrams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM near WHERE len(string_split(text, ' ')) >= 8
+    ),
+    contam AS (
+        SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+    ),
+    clean AS (
+        SELECT * FROM near
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM clean),
+    run AS (
+        SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS running
+        FROM clean
+    ),
+    final AS (
+        SELECT r.* FROM run r, tot WHERE r.running <= floor(tot.total * 0.5)
+    )
+    SELECT (SELECT count(*) FROM input)   AS n_input,
+           (SELECT count(*) FROM quality) AS n_quality,
+           (SELECT count(*) FROM deduped) AS n_deduped,
+           (SELECT count(*) FROM near)    AS n_near,
+           (SELECT count(*) FROM clean)   AS n_clean,
+           (SELECT count(*) FROM final)   AS n_final,
+           (SELECT CAST(sum(n_tokens) AS BIGINT) FROM final) AS final_tokens
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage LLM-corpus curation pipeline end-to-end
+    (operators/textstats.curate_documents): quality filter → exact
+    dedup → substring near-dup removal → benchmark decontamination →
+    token budget, reporting every stage's survivor count in one row —
+    each stage keeps its operator's documented scale shape, stages are
+    localCheckpoint-ed so funnel counts never re-run upstream
+    shuffles. Benchmark set = every 97th doc. The budget stage's
+    global running sum is the one sequential scan (chunked prefix-sum
+    in operators/skew.py is the 100 TB remedy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    stages = textstats.curate_documents(corpus, benchmark)
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    counts = None
+    for name in ["input", "quality", "deduped", "near", "clean"]:
+        agg = stages[name].agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        counts = agg if counts is None else counts.crossJoin(agg)
+    final_agg = stages["final"].agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(toks).alias("final_tokens"),
+    )
+    return counts.crossJoin(final_agg)

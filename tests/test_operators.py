@@ -264,3 +264,36 @@ def test_pq_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"PQ recall collapsed: {recall}"
+
+
+def test_curation_pipeline_stages(spark):
+    """Planted fixtures must fall at the right stage: junk fails
+    quality, a byte-identical copy dies at exact dedup, a benchmark
+    overlap dies at decontamination, and the budget cut keeps a prefix
+    in doc_id order."""
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import textstats
+
+    base = "the quick brown fox of every corpus jumps to a lazy dog and beyond"
+    rows = [
+        Row(doc_id=1, text=base + " one extra tail token here", lang="en", source="s"),
+        Row(doc_id=2, text=base + " one extra tail token here", lang="en", source="s"),  # exact dup
+        Row(doc_id=3, text="zz", lang="en", source="s"),  # fails quality (too short)
+        Row(doc_id=4, text="the shared benchmark gram sequence lives in this document and a tail of filler words to pass quality", lang="en", source="s"),
+        Row(doc_id=5, text="a totally different story in the land of spark engines and many more words to stay", lang="en", source="s"),
+    ]
+    bench = [Row(doc_id=100, text="the shared benchmark gram sequence lives in this document exactly", lang="en", source="b")]
+    docs = spark.createDataFrame(rows)
+    benchmark = spark.createDataFrame(bench)
+    stages = textstats.curate_documents(docs, benchmark, budget_frac=1.0)
+    got = {k: sorted(r["doc_id"] for r in v.select("doc_id").collect()) for k, v in stages.items()}
+    assert got["input"] == [1, 2, 3, 4, 5]
+    assert got["quality"] == [1, 2, 4, 5]
+    assert got["deduped"] == [1, 4, 5]          # doc 2 = exact copy of 1
+    assert got["near"] == [1, 4, 5]             # no heavy substring dup among survivors
+    assert got["clean"] == [1, 5]               # doc 4 shares an 8-gram with benchmark
+    assert got["final"] == [1, 5]               # budget_frac=1.0 keeps all
+    # a tighter budget keeps the doc_id-orderered prefix
+    tight = textstats.curate_documents(docs, benchmark, budget_frac=0.6)
+    assert sorted(r["doc_id"] for r in tight["final"].select("doc_id").collect()) == [1]
