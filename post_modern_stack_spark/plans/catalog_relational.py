@@ -1838,3 +1838,68 @@ def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "ok")
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+               count(DISTINCT l_quantity) AS q_distinct,
+               CAST(min(l_quantity) AS VARCHAR) AS q_min,
+               CAST(max(l_quantity) AS VARCHAR) AS q_max,
+               CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+               count(DISTINCT l_discount) AS d_distinct,
+               CAST(min(l_discount) AS VARCHAR) AS d_min,
+               CAST(max(l_discount) AS VARCHAR) AS d_max,
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
+               count(DISTINCT l_returnflag) AS r_distinct,
+               min(l_returnflag) AS r_min,
+               max(l_returnflag) AS r_max,
+               CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+               count(DISTINCT l_linestatus) AS s_distinct,
+               min(l_linestatus) AS s_min,
+               max(l_linestatus) AS s_max
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS column, n_rows, q_nulls AS n_nulls,
+           q_distinct AS n_distinct, q_min AS min_s, q_max AS max_s FROM a
+    UNION ALL
+    SELECT 'l_discount', n_rows, d_nulls, d_distinct, d_min, d_max FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, r_nulls, r_distinct, r_min, r_max FROM a
+    UNION ALL
+    SELECT 'l_linestatus', n_rows, s_nulls, s_distinct, s_min, s_max FROM a
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the warehouse `SUMMARIZE` / dbt-docs stats
+    pass): null count, exact distinct count, min/max per column — ONE
+    scan computes every column's measures in a single hash-agg row
+    (count(DISTINCT x, y, z) expands to one Expand pass, not one scan
+    per column), then `stack` unpivots to the long (column, measure)
+    report. Numerics profile as strings so the report schema is
+    column-type-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_returnflag", "l_linestatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        p = c[2]  # unique prefix letter per profiled column
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{p}_nulls"),
+            F.countDistinct(c).alias(f"{p}_distinct"),
+            # min/max on the NATIVE type, cast the RESULT — casting the
+            # column first would rank doubles lexicographically
+            F.min(c).cast("string").alias(f"{p}_min"),
+            F.max(c).cast("string").alias(f"{p}_max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c[2]}_nulls, {c[2]}_distinct, {c[2]}_min, {c[2]}_max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct, min_s, max_s)",
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")

@@ -947,3 +947,133 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(toks).alias("final_tokens"),
     )
     return counts.crossJoin(final_agg)
+
+
+@query(
+    "bm25_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'window', 'join')
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))
+                   AS raw
+        FROM tf t JOIN df d USING (term), stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(raw, 6) AS bm25
+    FROM scored
+    ORDER BY round(raw, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (Robertson k1=1.2, b=0.75) for the fixed
+    query {spark, window, join} — the IR scoring stage of a
+    retrieval pipeline, expressed as pure aggregates: term postings
+    collapse to (doc, term, tf) grain before any join; document
+    frequencies and corpus stats are term-grain/1-row aggregates that
+    broadcast; ranking rounds before ordering so the top-20 cut is
+    engine-deterministic."""
+    terms = ["spark", "window", "join"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    tf = (
+        docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # consumed by df-counts AND scoring
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("raw"))
+    )
+    return (
+        scored.select("doc_id", F.round("raw", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    sizes AS (SELECT doc_id, len(toks) AS n FROM t),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / sa.n, 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE round(n_common::DOUBLE / sa.n, 6) >= 0.9
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 asymmetric containment (|A∩B| / |A|): catches a short doc
+    swallowed by a longer one, which symmetric Jaccard misses (the
+    measure behind prefix/suffix-duplication pruning). Ordered pairs
+    (a inside b ≠ b inside a); token-grain hash join keyed on
+    xxhash64, same tractable-subset contract as the Jaccard pair
+    queries."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    base = d.select("doc_id", toks.alias("toks"))
+    tok = base.select(
+        "doc_id", F.explode("toks").alias("tk")
+    ).select("doc_id", F.xxhash64("tk").alias("tk"))
+    sizes = base.select("doc_id", F.size("toks").alias("n"))
+    pairs = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.tk") == F.col("b.tk"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.round(F.col("n_common") / F.col("n"), 6)
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")), "id_a")
+        .filter(cont >= 0.9)
+        .select("id_a", "id_b", cont.alias("containment"))
+    )
