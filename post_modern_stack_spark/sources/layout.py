@@ -252,3 +252,55 @@ def write_hilbert(
         else keyed.repartitionByRange("__hkey")
     )
     part.sortWithinPartitions("__hkey").drop("__hkey").write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = False,
+) -> None:
+    """Hive-style partitioned parquet layout (`path/col=value/...`) —
+    the directory-pruning counterpart to bucketing: a filter on a
+    partition column never lists, opens, or scans other partitions'
+    files (visible as PartitionFilters in the scan node).
+
+    ``dynamic=True`` sets partitionOverwriteMode=dynamic FOR THIS WRITE
+    (writer option, not session conf — no global state mutated): an
+    overwrite then replaces ONLY the partitions present in ``df``,
+    leaving sibling partitions untouched. That is the idempotent
+    daily-reload primitive — rewriting one day of a 5-year table
+    touches 1/1800th of the files; static overwrite would drop the
+    whole table first.
+    """
+    (
+        df.write.mode(mode)
+        .option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        )
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+) -> None:
+    """Parquet layout with per-column bloom filters — point-lookup data
+    skipping for HIGH-cardinality columns where min/max stats are
+    useless (a uuid/key column's min/max spans everything, so range
+    pruning never fires; the bloom filter rejects a row group in O(1)
+    probes instead). Spark's vectorized reader consults the filters
+    transparently on `col = literal` predicates.
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        )
+    w.parquet(path)
