@@ -369,7 +369,12 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsampling, so decode exercises the interleaved-MCU and upsample
     paths, not just 4:4:4), thumbnailed 8×8 by resize_media
     (decode → NN-resize → re-encode JPEG), and fingerprinted. Any
-    fallback to the digest fake fails the query (strict codecs)."""
+    fallback to the digest fake fails the query (strict codecs).
+
+    Bounded to 2000 docs: the Huffman entropy coder is per-image
+    Python (correctness surface, not a throughput path — a production
+    run would decode with a native library behind the same dispatch),
+    so the query demonstrates the plumbing at a fixed cost per SF."""
     import hashlib as _hl
     from typing import Iterator
 
@@ -382,7 +387,11 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 2000)
+    )
 
     def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         grad = np.tile(
