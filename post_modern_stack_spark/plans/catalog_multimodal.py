@@ -391,6 +391,9 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 2000)
+        # the 2000 survivors sit in 1-2 parquet splits; the per-image
+        # Python coder is the cost, so spread rows across all cores
+        .repartition(32)
     )
 
     def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
