@@ -278,10 +278,29 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(d, profiles, strategy="arrow")
 
 
-@query("doc_fingerprint")  # rows-only: xxhash64-based, no DuckDB twin
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT, list_transform(
+                   string_split(text, ' '),
+                   t -> list_reduce(
+                       list_prepend(7::BIGINT, list_transform(
+                           string_split(t, ''), c -> unicode(c)::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 order-sensitive rolling document fingerprint."""
-    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+    """K4 order-sensitive rolling document fingerprint — the portable
+    polynomial-mod-1e9+7 variant, byte-replayable in any engine (the
+    xxhash64 64-bit fold stays the default scale path; identical fold
+    structure, parity-tested)."""
+    return textstats.fingerprint(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 @query(
