@@ -465,3 +465,30 @@ def test_write_hilbert_clusters_both_dims(spark, tmp_path):
     assert spark.read.parquet(out).count() == n
     with pytest.raises(ValueError):
         write_hilbert(df, out, ["a"], bits=6)
+
+
+def test_jsonl_gz_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource WRITER: shards are gzip JSONL, rows
+    round-trip exactly, no temp files survive commit, and shard names
+    carry the partition id (the commit rename happened)."""
+    import glob
+    import gzip
+    import json
+
+    from post_modern_stack_spark.sources.synthetic import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(200).selectExpr(
+        "id", "cast(id * 0.5 as double) AS v", "concat('u', id % 5) AS u"
+    ).repartition(3)
+    df.write.format("jsonl_gz").option("path", out).mode("append").save()
+
+    files = sorted(glob.glob(out + "/part-*.jsonl.gz"))
+    assert len(files) == 3
+    assert glob.glob(out + "/_tmp*") == []
+    rows = [json.loads(l) for f in files for l in gzip.open(f, "rt")]
+    assert len(rows) == 200
+    assert {r["id"] for r in rows} == set(range(200))
+    back = spark.read.json(out)  # Spark reads .gz JSONL transparently
+    assert back.count() == 200
