@@ -263,6 +263,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash signatures, one shuffle.
 
@@ -273,10 +274,18 @@ def simhash_signatures(
     All shift amounts are Python ints, so everything stays a static
     expression; bit 63 uses the sign-bit literal to avoid long overflow.
     """
+    if hash_mode == "md5":
+        # engine-portable 60-bit token hash: leading 15 hex chars of
+        # md5 — replayable in any SQL engine, which makes the whole
+        # signature (and banded pair set) oracle-checkable; xxhash64
+        # stays the cheap JVM default at scale
+        h_expr = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64("tok")
     tok_hashes = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    ).select(F.col(id_col), h_expr.alias("h"))
     votes = tok_hashes.groupBy(id_col).agg(
         *[
             F.sum(
@@ -302,13 +311,15 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 8,
     band_bits: int = 16,
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit signature bands (a pair
     within Hamming ≤ 3 shares ≥1 of 4 bands; wider radii raise band
     count), then filter exactly by ``bit_count(xor)``.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
-    nbands = 64 // band_bits
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, hash_mode=hash_mode)
+    nbands = bits // band_bits
     banded = sigs.select(
         id_col,
         "sig",

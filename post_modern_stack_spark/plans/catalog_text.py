@@ -1096,3 +1096,57 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("id_a", "id_b", cont.alias("containment"))
     )
+
+
+@query(
+    "simhash_portable_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, r.i,
+               sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, range(60) r(i)
+        GROUP BY doc_id, r.i
+    ),
+    sigs AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+        FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sig, rb.b,
+               (sig >> (rb.b * 15)) & 32767 AS bv
+        FROM sigs, range(4) rb(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa::UBIGINT, sb::UBIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa::UBIGINT, sb::UBIGINT)) <= 8
+    """,
+)
+def q_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2b SimHash with the engine-portable md5 token hash: the ENTIRE
+    pipeline — 60-bit signatures (15 hex chars of md5), 4×15-bit band
+    blocking, exact Hamming verify — is replayed by the oracle, so the
+    banded candidate semantics themselves are hash-checked, not just
+    row counts (the xxhash64 full-corpus variant stays the scale
+    path). Same tractable-subset contract as the Jaccard pair
+    queries."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    pairs = dedup.simhash_near_dups(
+        d, max_hamming=8, band_bits=15, bits=60, hash_mode="md5"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
