@@ -51,12 +51,21 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
+MINHASH_P = 1_000_000_007
+
+
+def _minhash_affine(s: int) -> tuple[int, int]:
+    """Fixed per-permutation affine constants (engine-replayable)."""
+    return (1103515245 * (s + 1)) % MINHASH_P, (12345 * (s + 1) + 67890) % MINHASH_P
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signatures, one shuffle.
 
@@ -70,12 +79,28 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
     )
-    agg = sh.groupBy(id_col).agg(
-        *[
+    if hash_mode == "md5":
+        # portable k-permutation family: affine maps of a 60-bit md5
+        # base hash mod P — every term replayable in plain SQL, so the
+        # signature (and the LSH banding built on it) oracle-checks
+        x = (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        )
+        sh = sh.select(F.col(id_col), x.alias("x"))
+        hash_cols = [
+            F.min(
+                (F.lit(_minhash_affine(s)[0]) * F.col("x")
+                 + F.lit(_minhash_affine(s)[1])) % F.lit(MINHASH_P)
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        hash_cols = [
             F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
             for s in range(num_hashes)
         ]
-    )
+    agg = sh.groupBy(id_col).agg(*hash_cols)
     return agg.select(
         F.col(id_col),
         F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
@@ -89,6 +114,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """K2 candidate generation: band the signature (bands × rows/band),
     hash each band, explode to (band_idx, band_hash) keys, self-join on
@@ -102,7 +128,7 @@ def minhash_lsh_candidates(
             f"({bands}); trailing hashes would be silently ignored"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_mode)
     banded = sig.select(
         id_col,
         F.explode(
@@ -110,13 +136,25 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    # md5 mode joins on the raw band string (portable);
+                    # default compresses it to a 64-bit bucket key
+                    (
                         F.concat_ws(
                             ",",
                             F.transform(
                                 F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                                 lambda v: v.cast("string"),
                             ),
+                        )
+                        if hash_mode == "md5"
+                        else F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
                         )
                     ).alias("band_hash"),
                 ),

@@ -1150,3 +1150,54 @@ def q_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, max_hamming=8, band_bits=15, bits=60, hash_mode="md5"
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "minhash_portable_candidates",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+        WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    x AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+        FROM sh
+    ),
+    mins AS (
+        SELECT doc_id, r.s,
+               min(((1103515245 * (r.s + 1)) % 1000000007 * x
+                    + (12345 * (r.s + 1) + 67890) % 1000000007)
+                   % 1000000007) AS h
+        FROM x, range(16) r(s)
+        GROUP BY doc_id, r.s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS band_key
+        FROM mins GROUP BY doc_id, s // 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS band_hits
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_minhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 MinHash LSH with the engine-portable permutation family
+    (affine maps of a 60-bit md5 base hash mod 1e9+7): signatures,
+    16-hash/4-band banding, and candidate generation all replay in the
+    oracle, so the LSH pipeline itself is hash-checked (the xxhash64
+    variant stays the full-corpus scale path). Same tractable-subset
+    contract as the other pair queries."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_mode="md5"
+    )
