@@ -547,8 +547,12 @@ def curate_documents(
     """
     from pyspark.sql import Window
 
+    # quality is projection+filter only (no shuffle): recomputing it
+    # for its two consumers is cheaper than materializing full text to
+    # local disk, so it is NOT checkpointed; stages whose recompute
+    # would repeat a shuffle (dedup window, gram joins) are
     q = quality_score(df, text_col).filter(F.col("quality") >= quality_min)
-    quality = df.join(q.select("doc_id"), "doc_id").localCheckpoint()
+    quality = df.join(q.select("doc_id"), "doc_id")
 
     deduped = exact_keep_min(quality, text_col).localCheckpoint()
 
@@ -575,14 +579,20 @@ def curate_documents(
     clean = near.join(contaminated, "doc_id", "left_anti").localCheckpoint()
 
     toks = F.size(F.split(F.col(text_col), r"\s+"))
-    total = clean.agg(F.sum(toks).alias("total"))
+    # the global running sum is inherently single-partition, so only a
+    # narrow (doc_id, n_tokens) projection rides it; survivors rejoin
+    # by id (left_semi, key-grain build side). At 100 TB swap the
+    # single-partition cumsum for skew.chunked_running_sum.
+    sizes = clean.select("doc_id", toks.alias("__nt"))
+    total = sizes.agg(F.sum("__nt").alias("total"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    final = (
-        clean.crossJoin(F.broadcast(total))
-        .withColumn("running", F.sum(toks).over(w))
+    keep_ids = (
+        sizes.crossJoin(F.broadcast(total))
+        .withColumn("running", F.sum("__nt").over(w))
         .filter(F.col("running") <= F.floor(F.col("total") * budget_frac))
-        .drop("running", "total")
+        .select("doc_id")
     )
+    final = clean.join(keep_ids, "doc_id", "left_semi")
     return {
         "input": df,
         "quality": quality,

@@ -425,6 +425,10 @@ def probe_text_queries(spark, path: str):
         "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
         "unigram_logprob": lambda: textstats.unigram_logprob(load()),
         "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
+        "curation_final": lambda: textstats.curate_documents(
+            load().filter(F.col("doc_id") % 97 != 0),
+            load().filter(F.col("doc_id") % 97 == 0),
+        )["final"],
     }
 
 
