@@ -231,8 +231,7 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                epoch_ms(ts) // 3600000 AS bucket,
                value,
-               lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+               epoch_ns(ts)::HUGEINT * 1000000000000 + event_id AS ord
         FROM events
     )
     SELECT event_type,

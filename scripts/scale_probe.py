@@ -349,6 +349,58 @@ def probe_queries(spark, path: str):
             .count()
         )
 
+    def m4_downsample():
+        ev = load()
+        ordk = (
+            F.col("ts_ns").cast("decimal(38,0)") * F.lit(1_000_000_000_000)
+            + F.col("event_id")
+        )
+        return (
+            ev.select(
+                "event_type",
+                (F.col("ts_ms") / F.lit(3600000)).cast("bigint").alias("bucket"),
+                "value",
+                ordk.alias("ord"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("v_min"),
+                F.max("value").alias("v_max"),
+                F.min_by("value", "ord").alias("v_first"),
+                F.max_by("value", "ord").alias("v_last"),
+            )
+        )
+
+    def mode_per_user():
+        ev = load()
+        counts = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return counts.groupBy("user_id").agg(
+            F.min_by(
+                F.struct("event_type", "cnt"),
+                F.struct((-F.col("cnt")).alias("neg"), F.col("event_type")),
+            ).alias("m")
+        )
+
+    def item_triangles():
+        from pyspark.sql import Window
+
+        from post_modern_stack_spark.operators.graph import triangle_count
+
+        ev = load().select(
+            "user_id", "ts_ns", "event_id",
+            F.pmod(F.xxhash64("props"), F.lit(100_000)).alias("item"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        edges = (
+            ev.withColumn("nxt", F.lead("item").over(w))
+            .filter(F.col("nxt").isNotNull() & (F.col("item") != F.col("nxt")))
+            .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+        )
+        return triangle_count(edges)
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
@@ -366,6 +418,9 @@ def probe_queries(spark, path: str):
         "basket_pairs": basket_pairs,
         "pagerank_transitions": pagerank_transitions,
         "rolling_zscore": rolling_zscore,
+        "m4_downsample": m4_downsample,
+        "mode_per_user": mode_per_user,
+        "item_triangles": item_triangles,
         "winsorize_by_type": winsorize_by_type,
         "histogram_20bin": histogram_20bin,
     }
