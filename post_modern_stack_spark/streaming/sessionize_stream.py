@@ -346,3 +346,100 @@ def windowed_approx_distinct(
             "approx_users",
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("view_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("click_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("purchase_ts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("t1", T.LongType(), True),
+        T.StructField("t2", T.LongType(), True),
+        T.StructField("t3", T.LongType(), True),
+    ]
+)
+
+
+def _accumulate_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful ordered funnel: per user, earliest view t1, then
+    earliest click strictly after t1 (t2), then earliest purchase
+    strictly after t2 (t3). Stage times are resolved at EMISSION from
+    compact per-stage candidate sets, so out-of-order arrival (a late
+    view lowering t1 and thereby re-qualifying earlier clicks) gives
+    the same answer as batch — resolving stages eagerly per batch
+    would lock in a wrong t2. State is bounded: only each stage's
+    candidate minima are kept (the single min view; clicks/purchases
+    below the current stage frontier can still matter, so per-stage
+    times dedupe through a set)."""
+    if state.hasTimedOut:
+        (views, clicks, purchases) = state.get
+        state.remove()
+        t1 = min(views) if views else None
+        t2 = min((c for c in clicks if t1 is not None and c > t1), default=None)
+        t3 = min(
+            (p for p in purchases if t2 is not None and p > t2), default=None
+        )
+        if t1 is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t1": pd.array([t1], dtype="Int64"),
+                    "t2": pd.array([t2], dtype="Int64"),
+                    "t3": pd.array([t3], dtype="Int64"),
+                }
+            )
+        return
+    views: list[int] = []
+    clicks: list[int] = []
+    purchases: list[int] = []
+    if state.exists:
+        v, c, p = state.get
+        views, clicks, purchases = list(v), list(c), list(p)
+    for pdf in pdfs:
+        for ts, et in zip(pdf["ts_ns"], pdf["event_type"]):
+            ts = int(ts)
+            if et == "view":
+                # only the minimum view matters for t1
+                views = [min(views + [ts])] if views else [ts]
+            elif et == "click":
+                clicks.append(ts)
+            elif et == "purchase":
+                purchases.append(ts)
+    state.update((views, sorted(set(clicks)), sorted(set(purchases))))
+    state.setTimeoutDuration(5_000)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "t1": pd.Series([], dtype="int64"),
+            "t2": pd.Series([], dtype="int64"),
+            "t3": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def stateful_funnel(events: DataFrame) -> DataFrame:
+    """J5 variant: ORDERED funnel as a custom stateful streaming
+    operator (``applyInPandasWithState``) — per user, the
+    view → click-after-view → purchase-after-click stage times, emitted
+    when the user goes quiet. The streaming twin of the batch
+    ``funnel_conversion`` catalog query; stage semantics are resolved
+    at emission so any arrival order converges to the batch answer.
+    """
+    prepped = events.select("user_id", "ts_ns", "event_type").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _accumulate_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

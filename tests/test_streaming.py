@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -375,3 +376,74 @@ def test_chained_dedup_window_multi_stateful(spark, events_dir, tmp_path):
     assert set(gmap) <= set(bmap)
     for k, v in gmap.items():
         assert v == bmap[k], (k, v, bmap[k])
+
+
+def test_stateful_funnel_matches_batch(spark, events_dir):
+    """Custom stateful ordered funnel == the batch per-user stage
+    times, for every user that produced a view."""
+    import time
+
+    stream = S.stream_events(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        S.stateful_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    ev = load_table(spark, SF, "events")
+    expected = (
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    # poll the sink until every viewing user's funnel row flushed (the
+    # 5 s quiet timeout keeps scheduling batches; see session-arrays test)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("funnel_state").count() >= expected:
+                break
+            time.sleep(2)
+        got = spark.table("funnel_state").toPandas()
+    finally:
+        q.stop()
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    batch = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left").toPandas()
+    )
+    want = {
+        int(r.user_id): (
+            int(r.t1),
+            None if pd.isna(r.t2) else int(r.t2),
+            None if pd.isna(r.t3) else int(r.t3),
+        )
+        for r in batch.itertuples()
+    }
+    got_map = {
+        int(r.user_id): (
+            int(r.t1),
+            None if pd.isna(r.t2) else int(r.t2),
+            None if pd.isna(r.t3) else int(r.t3),
+        )
+        for r in got.itertuples()
+    }
+    assert got_map == want
