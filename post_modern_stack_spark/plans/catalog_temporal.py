@@ -274,3 +274,111 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "ord").alias("v_last"),
         )
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               value,
+               epoch_ms(ts) AS t,
+               lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ms(ts), event_id)
+                   AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (t_next - t)) / sum(t_next - t), 4) AS twap,
+           count(*) AS n_intervals
+    FROM seq
+    WHERE t_next IS NOT NULL AND t_next > t
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user — the irregular-sampling
+    average where each observation is weighted by how long it was
+    current (hold-until-next semantics, the financial/sensor
+    aggregation plain avg() gets wrong on uneven gaps). One shuffle:
+    the lead() window and the final agg share the user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "value", F.col("ts_ms").alias("t"), "event_id"
+    ).withColumn(
+        "t_next",
+        F.lead("t").over(Window.partitionBy("user_id").orderBy("t", "event_id")),
+    )
+    dur = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull() & (dur > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+@query(
+    "counter_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               value,
+               epoch_ms(ts) AS t,
+               lag(value) OVER w AS prev_v,
+               lag(epoch_ms(ts)) OVER w AS prev_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    deltas AS (
+        SELECT user_id,
+               value,
+               CASE WHEN value >= prev_v THEN value - prev_v ELSE value END
+                   AS delta,
+               (t - prev_t) / 1000.0 AS dt_s
+        FROM seq
+        WHERE prev_t IS NOT NULL AND t > prev_t
+    )
+    SELECT user_id,
+           round(sum(delta) / sum(dt_s), 6) AS rate_per_s,
+           CAST(sum(CASE WHEN delta = value THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resets
+    FROM deltas
+    GROUP BY user_id
+    """,
+)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter rate with reset handling (the PromQL
+    ``rate()`` contract): per consecutive sample pair, the increase is
+    ``v - prev`` unless the counter went backwards — a process restart
+    — in which case the post-reset value itself counts. Aggregated to
+    a per-user events/sec rate plus a reset count. lag() window and
+    final agg share one user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.col("ts_ms").alias("t"), "event_id"
+    ).select(
+        "user_id",
+        "value",
+        "t",
+        F.lag("value").over(w.orderBy("t", "event_id")).alias("prev_v"),
+        F.lag("t").over(w.orderBy("t", "event_id")).alias("prev_t"),
+    )
+    delta = F.when(
+        F.col("value") >= F.col("prev_v"), F.col("value") - F.col("prev_v")
+    ).otherwise(F.col("value"))
+    dt_s = (F.col("t") - F.col("prev_t")) / 1000.0
+    return (
+        seq.filter(F.col("prev_t").isNotNull() & (F.col("t") > F.col("prev_t")))
+        .select("user_id", delta.alias("delta"), dt_s.alias("dt_s"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("delta") / F.sum("dt_s"), 6).alias("rate_per_s"),
+            F.sum((F.col("delta") == F.col("value")).cast("bigint")).alias(
+                "n_resets"
+            ),
+        )
+    )
