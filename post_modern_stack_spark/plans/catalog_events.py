@@ -1146,3 +1146,31 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nxt").isNotNull() & (F.col("item") != F.col("nxt"))
     ).select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
     return triangle_count(edges)
+
+
+@query(
+    "frequent_items",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the approx_top_k sketch aggregate (Spark 4) —
+    the streaming-friendly frequent-items primitive whose state is a
+    bounded sketch, not a full group map. At this column's cardinality
+    (5 types << sketch capacity) the sketch is EXACT, so the query
+    oracle-checks against plain count ranking; at 100 TB on an
+    unbounded key domain the same expression keeps working where the
+    exact groupBy's hash map would not. Re-sorted (cnt desc, item) so
+    boundary ordering is total."""
+    ev = load_table(spark, sf_dir, "events")
+    top = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        top.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
