@@ -535,3 +535,167 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("p99"), 4).alias("p99"),
         )
     )
+
+
+@query(
+    "rolling_median",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS med7
+    FROM events
+    QUALIFY count(*) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) = 7
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-event median per user — Spark has no ORDER-BY-frame
+    median, so the frame's values ride a collect_list over the ROWS
+    frame and the middle element of the sorted array IS the exact
+    median (odd frame; full frames only, so no interpolation branch).
+    DuckDB states the same thing natively as windowed median(). One
+    shuffle; the array is 7 elements, never the partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        F.array_sort(F.collect_list("value").over(w)).alias("vals"),
+    )
+    return framed.filter(F.col("n_frame") == 7).select(
+        "event_id",
+        "user_id",
+        F.round(F.element_at("vals", 4), 4).alias("med7"),
+    )
+
+
+@query(
+    "ks_statistic",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    tot AS (
+        SELECT sum(g) AS n1, sum(1 - g) AS n2 FROM s
+    ),
+    ecdf AS (
+        SELECT value,
+               sum(g)     OVER (ORDER BY value
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS c1,
+               sum(1 - g) OVER (ORDER BY value
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS c2
+        FROM s
+    )
+    SELECT round(max(abs(c1::DOUBLE / tot.n1 - c2::DOUBLE / tot.n2)), 6)
+               AS ks_d,
+           CAST(any_value(tot.n1) AS BIGINT) AS n_click,
+           CAST(any_value(tot.n2) AS BIGINT) AS n_view
+    FROM ecdf, tot
+    """,
+)
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between click and view
+    value distributions: D = max |ECDF1 - ECDF2|. The RANGE frame
+    (cumulative counts over value with ties collapsed) evaluates both
+    ECDFs in ONE ordered pass — the classic distribution-shift test
+    joining PSI in the monitoring family. Global ordering is the
+    inherent cost (same posture as the budget cumsum: narrow 2-column
+    projection rides it)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        (F.col("event_type") == "click").cast("long").alias("g"),
+    )
+    wr = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
+    ecdf = s.select(
+        F.sum("g").over(wr).alias("c1"),
+        F.sum(1 - F.col("g")).over(wr).alias("c2"),
+    )
+    tot = s.agg(F.sum("g").alias("n1"), F.sum(1 - F.col("g")).alias("n2"))
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))),
+                6,
+            ).alias("ks_d"),
+            F.first("n1").alias("n_click"),
+            F.first("n2").alias("n_view"),
+        )
+    )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH folded AS (
+        SELECT event_type,
+               ((user_id * 2654435761 + 40503) % 1000003) % 3 AS fold
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type, fold, count(*) AS o FROM folded GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT event_type, fold, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY fold)       AS col_tot,
+               sum(o) OVER ()                        AS n
+        FROM obs
+    )
+    SELECT round(sum((o - row_tot * col_tot / n::DOUBLE)
+                     * (o - row_tot * col_tot / n::DOUBLE)
+                     / (row_tot * col_tot / n::DOUBLE)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT fold) - 1) AS BIGINT)     AS dof
+    FROM margins
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type vs hash-fold (the
+    split-sanity check: a sound fold assignment must be independent of
+    the label — large chi2 flags leakage). Contingency margins come
+    from windows OVER the tiny aggregated table, so the fact is
+    scanned once and everything after the first hash agg is
+    cell-grain."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        (F.col("user_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1000003)
+    ) % F.lit(3)
+    obs = (
+        ev.select("event_type", fold.alias("fold"))
+        .groupBy("event_type", "fold")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = obs.select(
+        "event_type",
+        "fold",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("fold")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return m.agg(
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("fold") - 1)
+        ).alias("dof"),
+    )
