@@ -1201,3 +1201,160 @@ def q_minhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.minhash_lsh_candidates(
         d, num_hashes=16, bands=4, hash_mode="md5"
     )
+
+
+@query(
+    "source_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    ),
+    tot AS (
+        SELECT source, c, sum(c) OVER (PARTITION BY source) AS n
+        FROM counts
+    )
+    SELECT source,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy,
+           CAST(any_value(n) AS BIGINT) AS n_tokens
+    FROM tot
+    GROUP BY source
+    """,
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    corpus-diversity health metric (a collapsed/templated source shows
+    low entropy and gets down-weighted in mixing). Token counts
+    collapse at (source, token) grain map-side; the per-source total
+    is a window over that aggregate, so the token stream shuffles
+    once."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("source"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.withColumn("n", n)
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.first("n").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+    WITH counts AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rank
+        FROM counts
+    )
+    SELECT round(regr_slope(ln(freq), ln(rank)), 5)     AS slope,
+           round(regr_intercept(ln(freq), ln(rank)), 5) AS intercept,
+           count(*) AS n_types
+    FROM ranked
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log(frequency) vs log(rank) over
+    the frequency-ranked vocabulary (natural corpora sit near -1;
+    synthetic/templated text deviates — a one-number corpus-health
+    probe). regr_slope is algebraic, so after the token agg everything
+    is moment-sized; ranking reuses the deterministic (freq desc,
+    token) vocab tie-break."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token")))
+    )
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 5).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(freq), ln(rank))"), 5).alias(
+            "intercept"
+        ),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rank,
+               sum(freq) OVER (ORDER BY freq DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(freq) OVER () AS total
+        FROM counts
+    )
+    SELECT CAST(min(CASE WHEN cum >= 0.50 * total THEN rank END) AS BIGINT)
+               AS types_for_50pct,
+           CAST(min(CASE WHEN cum >= 0.90 * total THEN rank END) AS BIGINT)
+               AS types_for_90pct,
+           CAST(min(CASE WHEN cum >= 0.99 * total THEN rank END) AS BIGINT)
+               AS types_for_99pct,
+           count(*) AS n_types
+    FROM ranked
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve summary: how many frequency-ranked
+    types cover 50/90/99% of all token occurrences — the number that
+    sizes a tokenizer's vocab (and the OOV rate any cut implies).
+    Cumulative share is a running window over the TYPE-grain aggregate
+    (vocab-sized, not corpus-sized), so the single-partition stage is
+    tiny by Heaps' law."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = counts.select(
+        "freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("freq").over(
+            W.partitionBy()
+        ).alias("total"),
+    )
+    def need(p: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= p * F.col("total"), F.col("rank"))
+        ).alias(name)
+
+    return ranked.agg(
+        need(0.50, "types_for_50pct"),
+        need(0.90, "types_for_90pct"),
+        need(0.99, "types_for_99pct"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
