@@ -1903,3 +1903,47 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct, min_s, max_s)",
         "n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+@query(
+    "rank_family_compare",
+    oracle="""
+    SELECT s_nationkey,
+           s_suppkey,
+           round(s_acctbal, 2) AS bal,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER (PARTITION BY s_nationkey
+                              ORDER BY round(s_acctbal, 2) DESC, s_suppkey)
+               AS rn
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY round(s_acctbal, 2) DESC)
+    QUALIFY rank() OVER w <= 3
+    """,
+)
+def q_rank_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ranking functions side by side on one window (top-3
+    per nation by balance, TIES KEPT): rank() gaps on ties,
+    dense_rank() doesn't, row_number() breaks them — the reference
+    sheet for choosing a top-K semantics. Ties are made reachable by
+    ranking on the ROUNDED balance; row_number alone gets the
+    deterministic s_suppkey tie-break so output hashes are stable.
+    All three share one sort in one window pass."""
+    sup = load_table(spark, sf_dir, "supplier")
+    bal = F.round("s_acctbal", 2)
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("bal"))
+    wrn = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("bal"), F.asc("s_suppkey")
+    )
+    return (
+        sup.select("s_nationkey", "s_suppkey", bal.alias("bal"))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "bal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(wrn).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

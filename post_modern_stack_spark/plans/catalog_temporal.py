@@ -382,3 +382,72 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "linear_attribution",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_ms(ts) AS v_ms
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.user_id, p.purchase_id, p.value, v.view_id,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND v.v_ms >= p.p_ms - 3600000
+         AND v.v_ms <  p.p_ms
+    )
+    SELECT user_id,
+           count(DISTINCT purchase_id) AS n_purchases,
+           count(*)                    AS n_touches,
+           round(sum(value / n_touches), 4) AS attributed_value
+    FROM touches
+    GROUP BY user_id
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across every view in its prior hour (the marketing model
+    between last-touch — the as-of join — and position-weighted). The
+    touch set comes from the bucketed interval join (never a
+    nested-loop theta join); the per-purchase touch count is a window
+    over the join output partitioned by the join's own key, so no
+    extra fact pass."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("p_ms"),
+        "value",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_ms").alias("v_ms"),
+        F.col("event_id").alias("view_id"),
+    )
+    touches = interval_join_buckets(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="p_ms",
+        right_time="v_ms",
+        lookback=_HOUR_MS,
+    )
+    n_touches = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    return (
+        touches.withColumn("n_touches", n_touches)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+                "attributed_value"
+            ),
+        )
+    )
