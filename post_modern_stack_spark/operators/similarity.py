@@ -509,3 +509,75 @@ def pq_top_k(
         [F.desc("cos_sim"), F.asc("neighbor_id")],
         k,
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def whiten_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+    out_dim: int | None = None,
+) -> DataFrame:
+    """PCA whitening of an embedding column — the standard retrieval
+    post-processing (mean-center, rotate to principal axes, scale each
+    to unit variance; optionally truncate to ``out_dim``): after it,
+    cosine ≈ Mahalanobis, which measurably improves ANN recall on
+    anisotropic embeddings ("Whitening Sentence Representations",
+    Su et al. 2021).
+
+    Scale shape: the covariance is a DISTRIBUTED moment aggregation —
+    each Arrow batch contributes (n, Σv, Σv·vᵀ) partials via
+    mapInPandas, combined on the driver (D×D doubles, KBs for any
+    realistic D — never the corpus). The eigendecomposition is a
+    driver-side numpy ``eigh`` of that D×D matrix; the projection
+    matrix broadcasts back inside a vectorized UDF closure. Three
+    passes total: moments, (driver eigh), project.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    moment_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [(mat.T @ mat).reshape(-1).tolist()],
+                }
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(partials, moment_schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    k = out_dim or dim
+    # W maps x -> diag(1/sqrt(λ)) @ Vᵀ @ (x - mean), top-k components
+    w_mat = (evecs[:, :k] / np.sqrt(np.maximum(evals[:k], eps))).T
+    mean_b = mean
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def project(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        out = (mat - mean_b) @ w_mat.T
+        return pd.Series(list(out.astype(np.float32)))
+
+    return corpus.select(
+        F.col(id_col), project(F.col(vec_col)).alias("whitened")
+    )

@@ -328,3 +328,21 @@ def q_pq_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_top_k(
         emb, queries, k=_K, m=8, n_codes=64, refine_factor=6
     )
+
+
+@query("embedding_whiten")  # rows-only: eigendecomposition-dependent
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 post-processing: PCA whitening (Su et al. 2021) — mean-center
+    + rotate + unit-variance scale via distributed moment aggregation
+    (Arrow partials, D×D driver combine) and a broadcast projection.
+    Output summarized to per-vector norms so the row contract is
+    stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.whiten_embeddings(emb, out_dim=16)
+    sq = F.transform("whitened", lambda x: x.cast("double"))
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, v: a + v * v)), 4
+        ).alias("whitened_norm"),
+    )

@@ -297,3 +297,24 @@ def test_curation_pipeline_stages(spark):
     # a tighter budget keeps the doc_id-orderered prefix
     tight = textstats.curate_documents(docs, benchmark, budget_frac=0.6)
     assert sorted(r["doc_id"] for r in tight["final"].select("doc_id").collect()) == [1]
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    """Whitened vectors must have ~zero mean and ~identity covariance
+    (the definition of whitening), computed independently in numpy."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators import similarity
+    from post_modern_stack_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = similarity.whiten_embeddings(emb).collect()
+    mat = np.vstack([np.array(r["whitened"], dtype=np.float64) for r in out])
+    assert mat.shape[1] == 64
+    assert np.abs(mat.mean(axis=0)).max() < 1e-3
+    cov = np.cov(mat, rowvar=False, bias=True)
+    assert np.abs(cov - np.eye(64)).max() < 0.05
+
+    # truncation keeps the top components only
+    out8 = similarity.whiten_embeddings(emb, out_dim=8).first()
+    assert len(out8["whitened"]) == 8
