@@ -152,3 +152,40 @@ def test_media_queries_bytes_stay_jvm_side(spark):
     for name in ["media_inventory", "media_dedup_groups"]:
         p = plan_of(spark, name)
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+
+
+def _exchange_count(plan: str) -> int:
+    import re
+
+    return len(
+        [l for l in plan.splitlines() if re.match(r"^\(\d+\) Exchange", l.strip())]
+    )
+
+
+def test_substring_dup_share_reuses_gram_exchange(spark):
+    """The gram-key exchange must serve BOTH the dup-key aggregate and
+    the join back (Catalyst exchange reuse): 2 exchanges total (gram
+    key + doc key). A third exchange means the gram set is being
+    shuffled twice again (the 89s-vs-64s regression at 1M docs)."""
+    plan = plan_of(spark, "substring_dup_share")
+    assert _exchange_count(plan) == 2, plan
+
+
+def test_m4_downsample_single_exchange_partial_agg(spark):
+    """M4 is one aggregation pass: exactly one exchange, with a partial
+    (map-side) aggregate below it — the mixed min/max + min_by agg
+    compiles to SortAggregate (imperative min_by buffer), but partial
+    combine still collapses rows to bucket grain before the shuffle,
+    and no Window node appears."""
+    plan = plan_of(spark, "m4_downsample")
+    assert _exchange_count(plan) == 1, plan
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+    assert "Window" not in plan, plan
+
+
+def test_triangle_count_materializes_edges_once(spark):
+    """The oriented edge list is localCheckpoint-ed, so the final
+    triangle plan references scans of the checkpoint, not three
+    rebuilds of the dedupe+degree+orient pipeline (was 37 exchanges)."""
+    plan = plan_of(spark, "item_triangles")
+    assert _exchange_count(plan) <= 2, plan
