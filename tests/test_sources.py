@@ -492,3 +492,56 @@ def test_jsonl_gz_sink_two_phase_commit(spark, tmp_path):
     assert {r["id"] for r in rows} == set(range(200))
     back = spark.read.json(out)  # Spark reads .gz JSONL transparently
     assert back.count() == 200
+
+
+def test_merge_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """Keyed-parquet MERGE: upserts + deletes land, untouched buckets'
+    FILES are bit-identical (mtime+size equality — not just row
+    counts), and only the affected bucket dirs report in the audit."""
+    import glob
+    import os
+    import time
+
+    from post_modern_stack_spark.sources import merge as M
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(200)], ["id", "name", "v"]
+    )
+    M.write_keyed_table(base, path, "id", n_buckets=8)
+
+    def snapshot():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        }
+
+    before = snapshot()
+    time.sleep(1.1)  # mtime resolution guard
+
+    updates = spark.createDataFrame(
+        [(3, "UPDATED", 99.0, False), (7, "x", 0.0, True), (1000, "NEW", 1.0, False)],
+        ["id", "name", "v", "is_delete"],
+    )
+    audit = M.merge_upsert(spark, path, updates, "id", n_buckets=8,
+                           delete_col="is_delete")
+    assert 0 < len(audit["affected_buckets"]) <= 3
+
+    after = snapshot()
+    out = M.read_keyed_table(spark, path)
+    rows = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows[3] == ("UPDATED", 99.0)         # update applied
+    assert 7 not in rows                        # delete applied
+    assert rows[1000] == ("NEW", 1.0)           # insert applied
+    assert rows[5] == ("name5", 5.0)            # untouched row intact
+    assert len(rows) == 200 - 1 + 1
+
+    from post_modern_stack_spark.sources.merge import BUCKET_COL, bucket_of
+    affected = set(audit["affected_buckets"])
+    untouched_files = [
+        f for f in before
+        if int(f.split(f"{BUCKET_COL}=")[1].split("/")[0]) not in affected
+    ]
+    assert untouched_files, "expected some untouched buckets"
+    for f in untouched_files:
+        assert f in after and after[f] == before[f], f"rewritten: {f}"
