@@ -102,3 +102,32 @@ def merge_upsert(
 
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def start_merge_stream(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int = 16,
+    delete_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Continuous CDC apply: every micro-batch of the update stream
+    MERGEs into the keyed table (foreachBatch — the sink-side analog
+    of streaming/ingest_stream's COPY-INTO loop). Each batch rewrites
+    only its affected buckets; the streaming checkpoint makes the
+    apply restartable (a replayed batch re-merges idempotently —
+    latest-wins per key is insensitive to re-application)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            spark, path, batch_df, key, n_buckets=n_buckets, delete_col=delete_col
+        )
+
+    w = updates_stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

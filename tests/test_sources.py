@@ -545,3 +545,35 @@ def test_merge_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     assert untouched_files, "expected some untouched buckets"
     for f in untouched_files:
         assert f in after and after[f] == before[f], f"rewritten: {f}"
+
+
+def test_streaming_merge_applies_cdc_batches(spark, tmp_path):
+    """foreachBatch MERGE loop: a file stream of CDC updates lands in
+    the keyed table with upsert/delete semantics."""
+    from post_modern_stack_spark.sources import merge as M
+
+    path = str(tmp_path / "keyed_stream")
+    base = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(50)], ["id", "name", "v"]
+    )
+    M.write_keyed_table(base, path, "id", n_buckets=4)
+
+    upd_dir = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(3, "UPDATED", 99.0, False), (7, "x", 0.0, True)],
+        ["id", "name", "v", "is_delete"],
+    ).write.mode("overwrite").parquet(upd_dir)
+
+    schema = "id bigint, name string, v double, is_delete boolean"
+    stream = spark.readStream.schema(schema).parquet(upd_dir)
+    q = M.start_merge_stream(
+        spark, stream, path, "id", n_buckets=4, delete_col="is_delete",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = {r["id"]: (r["name"], r["v"]) for r in M.read_keyed_table(spark, path).collect()}
+    assert rows[3] == ("UPDATED", 99.0)
+    assert 7 not in rows
+    assert rows[5] == ("name5", 5.0)
+    assert len(rows) == 49
