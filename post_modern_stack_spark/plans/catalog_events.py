@@ -1174,3 +1174,54 @@ def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("item"))
     )
+
+
+@query(
+    "stratified_sample_portable",
+    oracle="""
+    WITH sampled AS (
+        SELECT event_type, user_id, value
+        FROM events
+        WHERE ((event_id * 2654435761 + 97) % 1000003) % 100 <
+              CASE event_type
+                  WHEN 'view' THEN 5
+                  WHEN 'click' THEN 10
+                  WHEN 'purchase' THEN 50
+                  ELSE 20
+              END
+    )
+    SELECT event_type,
+           count(*) AS n_sampled,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(value), 4) AS avg_value
+    FROM sampled
+    GROUP BY event_type
+    """,
+)
+def q_stratified_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rate sampling with an engine-portable arithmetic
+    hash (rate per event_type: views 5%, clicks 10%, purchases 50%,
+    rest 20%) — the deterministic twin of the seeded `sampleBy` query
+    (whose Bernoulli RNG is engine-private, hence rows-only): identical
+    row selection in ANY engine, reproducible across partitionings and
+    retries — the property audit pipelines need from a sample. Pure
+    filter: no shuffle before the summary agg."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ((F.col("event_id") * F.lit(2654435761) + F.lit(97)) % F.lit(1000003)) % F.lit(
+        100
+    )
+    rate = (
+        F.when(F.col("event_type") == "view", F.lit(5))
+        .when(F.col("event_type") == "click", F.lit(10))
+        .when(F.col("event_type") == "purchase", F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    return (
+        ev.filter(h < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
