@@ -608,23 +608,29 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between click and view
-    value distributions: D = max |ECDF1 - ECDF2|. The RANGE frame
-    (cumulative counts over value with ties collapsed) evaluates both
-    ECDFs in ONE ordered pass — the classic distribution-shift test
-    joining PSI in the monitoring family. Global ordering is the
-    inherent cost (same posture as the budget cumsum: narrow 2-column
-    projection rides it)."""
+    value distributions: D = max |ECDF1 - ECDF2| — the classic
+    distribution-shift test joining PSI in the monitoring family.
+
+    Scale shape: both ECDFs only change at DISTINCT values, so the
+    fact first collapses to (value, per-group counts) via hash agg
+    (map-side combinable) and the inherently-global cumulative window
+    runs over the distinct-value grain — bounded by value cardinality,
+    not row count. A row-grain RANGE frame computes the same D but
+    pushes every fact row through one global sort partition."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("click", "view")).select(
         "value",
         (F.col("event_type") == "click").cast("long").alias("g"),
     )
-    wr = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
-    ecdf = s.select(
-        F.sum("g").over(wr).alias("c1"),
-        F.sum(1 - F.col("g")).over(wr).alias("c2"),
+    per_value = s.groupBy("value").agg(
+        F.sum("g").alias("d1"), F.sum(1 - F.col("g")).alias("d2")
     )
-    tot = s.agg(F.sum("g").alias("n1"), F.sum(1 - F.col("g")).alias("n2"))
+    wr = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_value.select(
+        F.sum("d1").over(wr).alias("c1"),
+        F.sum("d2").over(wr).alias("c2"),
+    )
+    tot = per_value.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
     return (
         ecdf.crossJoin(F.broadcast(tot))
         .agg(
