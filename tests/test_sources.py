@@ -577,3 +577,52 @@ def test_streaming_merge_applies_cdc_batches(spark, tmp_path):
     assert 7 not in rows
     assert rows[5] == ("name5", 5.0)
     assert len(rows) == 49
+
+
+def test_versioned_keyed_table_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot isolation on parquet: merges create new versions, old
+    versions stay byte-identical and readable (time travel), vacuum
+    removes only unreferenced dirs, and the latest read survives it."""
+    import glob
+    import os
+
+    from post_modern_stack_spark.sources.merge import VersionedKeyedTable
+
+    t = VersionedKeyedTable(spark, str(tmp_path / "vt"), n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(40)], ["id", "name", "v"]
+    )
+    t.create(base, "id")
+
+    v0_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "vt" / "v0" / "**" / "*.parquet"),
+                           recursive=True)
+    }
+
+    r1 = t.merge(spark.createDataFrame(
+        [(3, "M1", 99.0, False)], ["id", "name", "v", "is_delete"]),
+        delete_col="is_delete")
+    r2 = t.merge(spark.createDataFrame(
+        [(3, "M2", 100.0, False), (7, "x", 0.0, True)],
+        ["id", "name", "v", "is_delete"]), delete_col="is_delete")
+    assert r1["version"] == 1 and r2["version"] == 2
+
+    latest = {r["id"]: r["name"] for r in t.read().collect()}
+    assert latest[3] == "M2" and 7 not in latest and latest[5] == "name5"
+
+    # time travel: v1 sees the first merge only, v0 the original
+    v1 = {r["id"]: r["name"] for r in t.read(version=1).collect()}
+    assert v1[3] == "M1" and 7 in v1
+    v0 = {r["id"]: r["name"] for r in t.read(version=0).collect()}
+    assert v0[3] == "name3" and len(v0) == 40
+
+    # immutability: v0 files untouched by both merges
+    for f, mt in v0_files.items():
+        assert os.path.getmtime(f) == mt
+
+    # vacuum to latest-only: older snapshots go, latest still correct
+    removed = t.vacuum(retain_last=1)
+    assert removed, "expected unreferenced dirs to be removed"
+    latest2 = {r["id"]: r["name"] for r in t.read().collect()}
+    assert latest2 == latest
