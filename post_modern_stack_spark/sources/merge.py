@@ -29,6 +29,23 @@ from post_modern_stack_spark.sources.layout import write_partitioned
 BUCKET_COL = "__bucket"
 
 
+def dedupe_updates(updates: DataFrame, key: str) -> DataFrame:
+    """Collapse duplicate keys WITHIN one update batch deterministically
+    (max over the full remaining-column struct — stable under any
+    partitioning): a batch carrying the same key twice would otherwise
+    make latest-wins pick a partition-order-dependent row. CDC feeds
+    with a real ordering should pre-sort on their sequence column
+    before batching (apply_cdc is the seq-aware operator)."""
+    others = [c for c in updates.columns if c != key]
+    return (
+        updates.groupBy(key)
+        .agg(
+            F.max_by(F.struct(*others), F.struct(*others)).alias("__r")
+        )
+        .select(key, "__r.*")
+    )
+
+
 def bucket_of(key_col: str | F.Column, n_buckets: int) -> F.Column:
     col = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
@@ -64,7 +81,9 @@ def merge_upsert(
     Returns {"affected_buckets": [...], "n_buckets": N} so callers can
     audit the blast radius.
     """
-    upd = updates.withColumn(BUCKET_COL, bucket_of(key, n_buckets))
+    upd = dedupe_updates(updates, key).withColumn(
+        BUCKET_COL, bucket_of(key, n_buckets)
+    )
     affected = sorted(
         r[0] for r in upd.select(BUCKET_COL).distinct().collect()
     )
@@ -246,7 +265,9 @@ class VersionedKeyedTable:
         key = m["key"]
         new_v = old_v + 1
 
-        upd = updates.withColumn(BUCKET_COL, bucket_of(key, self.n_buckets))
+        upd = dedupe_updates(updates, key).withColumn(
+            BUCKET_COL, bucket_of(key, self.n_buckets)
+        )
         affected = sorted(
             int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()
         )
@@ -261,14 +282,23 @@ class VersionedKeyedTable:
             cur = self.spark.read.parquet(
                 self._bucket_dir(m["buckets"][str(bucket)], bucket)
             )
-            cols = cur.columns
+            # schema evolution: updates may ADD columns — existing rows
+            # surface them as NULL (unionByName allowMissingColumns,
+            # the Delta/Iceberg mergeSchema contract); dropped columns
+            # are not allowed (silent data loss), so only the union of
+            # schemas ever widens
+            upd_cols = [
+                c for c in upd.columns if c not in (BUCKET_COL, "__del")
+            ]
+            cols = cur.columns + [c for c in upd_cols if c not in cur.columns]
             merged = (
                 cur.withColumn("__seq", F.lit(0))
                 .withColumn("__del", F.lit(False))
                 .unionByName(
                     upd.filter(F.col(BUCKET_COL) == bucket)
-                    .select(*cols, "__del")
-                    .withColumn("__seq", F.lit(1))
+                    .drop(BUCKET_COL)
+                    .withColumn("__seq", F.lit(1)),
+                    allowMissingColumns=True,
                 )
                 .groupBy(key)
                 .agg(

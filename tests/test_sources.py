@@ -626,3 +626,26 @@ def test_versioned_keyed_table_time_travel_and_vacuum(spark, tmp_path):
     assert removed, "expected unreferenced dirs to be removed"
     latest2 = {r["id"]: r["name"] for r in t.read().collect()}
     assert latest2 == latest
+
+
+def test_versioned_merge_schema_evolution_and_dup_keys(spark, tmp_path):
+    """Updates may ADD columns (existing rows read NULL there — the
+    mergeSchema contract) and duplicate keys within a batch collapse
+    deterministically."""
+    from post_modern_stack_spark.sources.merge import VersionedKeyedTable
+
+    t = VersionedKeyedTable(spark, str(tmp_path / "vt2"), n_buckets=2)
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), "id"
+    )
+    # same key twice in one batch + a brand-new column
+    t.merge(
+        spark.createDataFrame(
+            [(1, "x1", 5.0), (1, "x2", 7.0), (3, "c", 1.0)],
+            ["id", "name", "score"],
+        )
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows[1] == ("x2", 7.0)       # deterministic max-struct pick
+    assert rows[2] == ("b", None)       # old row: new column is NULL
+    assert rows[3] == ("c", 1.0)
