@@ -84,6 +84,35 @@ def register_udtfs(spark: SparkSession) -> list[str]:
             for i in range(max(len(text) - n + 1, 0)):
                 yield i, text[i : i + n]
 
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    class SplitFields:
+        """POLYMORPHIC UDTF (Spark 4 ``analyze()``): output schema is
+        computed at PLAN TIME from the constant field-list argument —
+        ``split_fields(line, 'a,b,c')`` yields columns (a, b, c). The
+        dynamic-schema table function every CSV-ish SQL surface needs;
+        schema resolution happens once in the optimizer, not per row.
+        """
+
+        @staticmethod
+        def analyze(line: AnalyzeArgument, fields: AnalyzeArgument) -> AnalyzeResult:
+            if fields.value is None:
+                raise ValueError("split_fields: field list must be a constant")
+            schema = StructType()
+            for name in str(fields.value).split(","):
+                schema = schema.add(name.strip(), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, line: str, fields: str):
+            names = str(fields).split(",")
+            parts = (line or "").split(",")
+            parts += [None] * (len(names) - len(parts))
+            yield tuple(parts[: len(names)])
+
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("char_ngrams", CharNgrams)
-    return ["char_ngrams"]
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("split_fields", _udtf(SplitFields))
+    return ["char_ngrams", "split_fields"]

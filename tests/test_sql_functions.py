@@ -74,3 +74,21 @@ def test_cosine_sim_zero_vector_is_null(spark):
         "SELECT cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c"
     ).collect()[0]
     assert r["c"] is None
+
+
+def test_polymorphic_udtf_schema_from_argument(spark):
+    """split_fields derives its output schema from the constant field
+    list at plan time (UDTF analyze())."""
+    from post_modern_stack_spark.sql_functions import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.sql(
+        """
+        SELECT t.* FROM VALUES ('1,alpha,x'), ('2,beta') AS v(line),
+        LATERAL split_fields(v.line, 'id, name, tag') t
+        """
+    )
+    assert df.columns == ["id", "name", "tag"]
+    rows = {r["id"]: (r["name"], r["tag"]) for r in df.collect()}
+    assert rows["1"] == ("alpha", "x")
+    assert rows["2"] == ("beta", None)
