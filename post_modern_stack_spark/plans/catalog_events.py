@@ -1225,3 +1225,169 @@ def q_stratified_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "item_transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               lead(CAST(json_extract(props, '$.k') AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   AS nxt
+        FROM events
+    ),
+    edges AS (
+        SELECT item, nxt, count(*) AS c
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY item, nxt
+    )
+    SELECT item, nxt, c,
+           round(c::DOUBLE / sum(c) OVER (PARTITION BY item), 6) AS p
+    FROM edges
+    WHERE c >= 5
+    """,
+)
+def q_item_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over item views: P(next |
+    current) from consecutive events per user — the model behind
+    'customers who viewed X then viewed Y' and the input PageRank and
+    next-item baselines consume. Row-normalization is a window over
+    the EDGE aggregate (item-grain, tiny), so the fact shuffles once
+    for the lead() and once collapsed to edge grain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    seq = ev.select("user_id", item.alias("item"), "ts_ns", "event_id").withColumn(
+        "nxt", F.lead("item").over(w)
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("item", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = F.sum("c").over(Window.partitionBy("item"))
+    return (
+        edges.withColumn("p", F.round(F.col("c") / tot, 6))
+        .filter(F.col("c") >= 5)
+        .select("item", "nxt", "c", "p")
+    )
+
+
+@query(
+    "survival_curve",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, min(epoch_ms(ts)) AS t_start
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, min(epoch_ms(e.ts)) AS t_conv
+        FROM events e JOIN t0 ON t0.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > t0.t_start
+        GROUP BY e.user_id
+    ),
+    last_seen AS (
+        SELECT user_id, max(epoch_ms(ts)) AS t_last FROM events GROUP BY user_id
+    ),
+    subjects AS (
+        SELECT t0.user_id,
+               CASE WHEN conv.t_conv IS NOT NULL
+                    THEN (conv.t_conv - t0.t_start) // 3600000
+                    ELSE (last_seen.t_last - t0.t_start) // 3600000 END
+                   AS dur_h,
+               CASE WHEN conv.t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM t0
+        LEFT JOIN conv USING (user_id)
+        JOIN last_seen USING (user_id)
+    ),
+    grouped AS (
+        SELECT dur_h,
+               CAST(sum(ev) AS BIGINT) AS d,
+               count(*) AS ended
+        FROM subjects GROUP BY dur_h
+    ),
+    risk AS (
+        SELECT dur_h, d,
+               CAST(sum(ended) OVER (ORDER BY dur_h DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_risk
+        FROM grouped
+    )
+    SELECT dur_h, d, n_risk,
+           CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk
+                                        THEN ln(1 - d::DOUBLE / n_risk)
+                                        ELSE 0 END)
+                               OVER (ORDER BY dur_h
+                                     ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk
+    WHERE d > 0
+    """,
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-purchase (hours since
+    first view), right-censored at each non-converting user's last
+    event — the product-limit estimator S(t) = Π(1 - d_i/n_i),
+    computed as exp of a running sum of logs (the distributed cumprod
+    idiom; identical IEEE ops in both engines). n_at_risk is a reverse
+    cumulative over the DURATION grain, so after the subject-grain
+    aggregation every window is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_start"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t0), "user_id")
+        .filter(F.col("ts_ms") > F.col("t_start"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_conv"))
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("ts_ms").alias("t_last"))
+    dur = F.when(
+        F.col("t_conv").isNotNull(),
+        F.floor((F.col("t_conv") - F.col("t_start")) / 3600000),
+    ).otherwise(F.floor((F.col("t_last") - F.col("t_start")) / 3600000))
+    subjects = (
+        t0.join(conv, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            dur.alias("dur_h"),
+            F.col("t_conv").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    grouped = subjects.groupBy("dur_h").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("ended")
+    )
+    w_desc = Window.orderBy(F.desc("dur_h")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grouped.select(
+        "dur_h", "d", F.sum("ended").over(w_desc).alias("n_risk")
+    )
+    # when an at-risk set fully converts (d == n_risk) the factor is 0
+    # and survival is exactly 0 from there on — carried as a flag, not
+    # a ln(0)
+    w_asc = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = F.max(
+        (F.col("d") == F.col("n_risk")).cast("int")
+    ).over(w_asc)
+    log_sum = F.sum(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(1 - F.col("d") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_asc)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(log_sum), 6)
+    )
+    return risk.select(
+        "dur_h", "d", "n_risk", surv.alias("survival")
+    ).filter(F.col("d") > 0)
