@@ -1243,10 +1243,11 @@ def q_stratified_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq WHERE nxt IS NOT NULL
         GROUP BY item, nxt
     )
-    SELECT item, nxt, c,
-           round(c::DOUBLE / sum(c) OVER (PARTITION BY item), 6) AS p
-    FROM edges
-    WHERE c >= 5
+    SELECT item, nxt, c, p FROM (
+        SELECT item, nxt, c,
+               round(c::DOUBLE / sum(c) OVER (PARTITION BY item), 6) AS p
+        FROM edges
+    ) WHERE c >= 2
     """,
 )
 def q_item_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1271,7 @@ def q_item_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.sum("c").over(Window.partitionBy("item"))
     return (
         edges.withColumn("p", F.round(F.col("c") / tot, 6))
-        .filter(F.col("c") >= 5)
+        .filter(F.col("c") >= 2)
         .select("item", "nxt", "c", "p")
     )
 
