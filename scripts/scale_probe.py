@@ -401,6 +401,42 @@ def probe_queries(spark, path: str):
         )
         return triangle_count(edges)
 
+    def ks_statistic():
+        from pyspark.sql import Window
+
+        ev = load()
+        s = ev.filter(F.col("event_type").isin("click", "view")).select(
+            "value", (F.col("event_type") == "click").cast("long").alias("g")
+        )
+        per_value = s.groupBy("value").agg(
+            F.sum("g").alias("d1"), F.sum(1 - F.col("g")).alias("d2")
+        )
+        wr = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        ecdf = per_value.select(
+            F.sum("d1").over(wr).alias("c1"), F.sum("d2").over(wr).alias("c2")
+        )
+        tot = per_value.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+        return ecdf.crossJoin(F.broadcast(tot)).agg(
+            F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("d")
+        )
+
+    def twap_per_user():
+        from pyspark.sql import Window
+
+        ev = load()
+        seq = ev.select(
+            "user_id", "value", F.col("ts_ms").alias("t"), "event_id"
+        ).withColumn(
+            "t_next",
+            F.lead("t").over(Window.partitionBy("user_id").orderBy("t", "event_id")),
+        )
+        dur = F.col("t_next") - F.col("t")
+        return (
+            seq.filter(F.col("t_next").isNotNull() & (dur > 0))
+            .groupBy("user_id")
+            .agg((F.sum(F.col("value") * dur) / F.sum(dur)).alias("twap"))
+        )
+
     return {
         "sessionize": sessionize,
         "latest_per_user": latest_per_user,
@@ -421,6 +457,8 @@ def probe_queries(spark, path: str):
         "m4_downsample": m4_downsample,
         "mode_per_user": mode_per_user,
         "item_triangles": item_triangles,
+        "ks_statistic": ks_statistic,
+        "twap_per_user": twap_per_user,
         "winsorize_by_type": winsorize_by_type,
         "histogram_20bin": histogram_20bin,
     }
