@@ -1392,3 +1392,99 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk.select(
         "dur_h", "d", "n_risk", surv.alias("survival")
     ).filter(F.col("d") > 0)
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               ((user_id * 2654435761 + 40503) % 1000003) % 2 AS grp,
+               max(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT grp,
+               count(*) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM assigned GROUP BY grp
+    ),
+    wide AS (
+        SELECT max(CASE WHEN grp = 0 THEN n END)    AS n_a,
+               max(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+               max(CASE WHEN grp = 1 THEN n END)    AS n_b,
+               max(CASE WHEN grp = 1 THEN conv END) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+           round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+           CASE WHEN (conv_a + conv_b) = 0 OR (conv_a + conv_b) = (n_a + n_b)
+                THEN NULL
+                ELSE round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
+                     / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split by the
+    engine-portable hash (grouped assignment — a user is entirely in
+    one arm), conversion = any purchase, pooled-variance z statistic —
+    the experimentation readout that closes the statistics family
+    (chi-square: independence; KS: distribution shift; this: lift).
+    One user-grain agg, then arm grain, then a 2-row pivot — nothing
+    after the first agg is fact-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = (
+        (F.col("user_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1000003)
+    ) % F.lit(2)
+    assigned = (
+        ev.select("user_id", grp.alias("grp"), "event_type", "value")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase") & (F.col("value") > 90)
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    arms = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    pp = tot_conv / tot_n
+    # degenerate arms (0% or 100% pooled conversion) have zero pooled
+    # variance — NULL, not a divide-by-zero (ANSI) / inf (DuckDB)
+    z = F.when(
+        (tot_conv == 0) | (tot_conv == tot_n), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (rb - ra)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            6,
+        )
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z_stat"),
+    )
