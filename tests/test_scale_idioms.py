@@ -374,3 +374,24 @@ def test_bloom_filter_layout_written_and_readable(spark, tmp_path):
 
     size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
     assert size(bloom_path) - size(plain_path) > 4000
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join strategy control (the tuning surface when AQE's choice is
+    wrong): broadcast / merge / shuffle_hash hints must each produce
+    their join operator for the same logical join."""
+    import io
+    from contextlib import redirect_stdout
+
+    left = spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1_000).select(F.col("id"), (F.col("id") * 3).alias("b"))
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in plan(left.join(right.hint("broadcast"), "id"))
+    assert "SortMergeJoin" in plan(left.join(right.hint("merge"), "id"))
+    assert "ShuffledHashJoin" in plan(left.join(right.hint("shuffle_hash"), "id"))
