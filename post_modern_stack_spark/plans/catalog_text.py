@@ -1358,3 +1358,86 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         need(0.99, "types_for_99pct"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@query(
+    "near_dup_clusters_portable",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+        WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    jacc AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= 0.5
+    ),
+    x AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+        FROM sh
+    ),
+    mins AS (
+        SELECT doc_id, r.s,
+               min(((1103515245 * (r.s + 1)) % 1000000007 * x
+                    + (12345 * (r.s + 1) + 67890) % 1000000007)
+                   % 1000000007) AS h
+        FROM x, range(16) r(s)
+        GROUP BY doc_id, r.s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS band_key
+        FROM mins GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT j.id_a, j.id_b FROM jacc j JOIN cand c
+          ON j.id_a = c.id_a AND j.id_b = c.id_b
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def q_near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 END-TO-END dedup pipeline, fully hash-checked: portable-md5
+    MinHash-LSH candidates → exact Jaccard verify (≥0.5) → min-label
+    connected components — the oracle replays candidates and Jaccard
+    in SQL and closes components with a recursive CTE, so even the
+    CLUSTER ASSIGNMENTS are cross-engine verified (the xxhash64
+    variant `near_dup_clusters` stays the scale path)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    candidates = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_mode="md5"
+    )
+    verified = dedup.jaccard_pairs(d, min_jaccard=0.5).join(
+        candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    return dedup.cluster_pairs(verified)
