@@ -1488,3 +1488,75 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH span AS (SELECT max(epoch_ms(ts)) AS t_ref FROM events),
+    rfm AS (
+        SELECT user_id,
+               any_value(t_ref) - max(epoch_ms(ts)) AS recency_ms,
+               count(*) AS frequency,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 2) AS monetary
+        FROM events, span
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(5) OVER (ORDER BY recency_ms ASC,  user_id) AS r,
+               ntile(5) OVER (ORDER BY frequency  DESC, user_id) AS f,
+               ntile(5) OVER (ORDER BY monetary   DESC, user_id) AS m
+        FROM rfm
+    )
+    SELECT r, f, m,
+           count(*) AS n_users,
+           CASE WHEN r <= 2 AND f <= 2 AND m <= 2 THEN 'champion'
+                WHEN r >= 4 AND f <= 2            THEN 'at_risk_loyal'
+                WHEN r >= 4                       THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles +
+    named segments) — the classic CRM cut. One user-grain hash agg
+    (the reference timestamp is a 1-row broadcast), then three ntile
+    windows over the USER-grain table with user_id tie-breaks so
+    quintile boundaries are engine-deterministic; the output is
+    cell-grain (125 rows max) regardless of user count."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts_ms").alias("t_ref"))
+    rfm = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            (F.first("t_ref") - F.max("ts_ms")).alias("recency_ms"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_ms"), F.asc("user_id"))).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+    )
+    segment = (
+        F.when((F.col("r") <= 2) & (F.col("f") <= 2) & (F.col("m") <= 2), "champion")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "at_risk_loyal")
+        .when(F.col("r") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select("r", "f", "m", "n_users", segment.alias("segment"))
