@@ -1560,3 +1560,75 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_users")
     ).select("r", "f", "m", "n_users", segment.alias("segment"))
+
+
+@query(
+    "funnel_with_timeout",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_ms(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_ms(e.ts) > v.t1
+          AND epoch_ms(e.ts) <= v.t1 + 21600000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ms(e.ts) > c.t2
+          AND epoch_ms(e.ts) <= c.t2 + 21600000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_6h,
+           (SELECT count(*) FROM p) AS n_purchased_6h
+    FROM (SELECT 1)
+    """,
+)
+def q_funnel_with_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-step conversion windows (click within
+    6 h of first view, purchase within 6 h of that click) — the form
+    product analytics actually reports, where an eventual conversion
+    outside the window doesn't count. Same user-grain partial-agg +
+    broadcast chain as `funnel_conversion`; the time bound rides the
+    stage join predicate, so no extra pass."""
+    ev = load_table(spark, sf_dir, "events")
+    window_ms = 6 * 3600 * 1000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+        .localCheckpoint()
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + window_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"))
+        .localCheckpoint()
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + window_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_6h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_6h")))
+    )
