@@ -451,3 +451,121 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type, list(v ORDER BY day) AS vals FROM daily
+        GROUP BY event_type
+    ),
+    fit(event_type, i, l, t) AS (
+        SELECT event_type, 1, vals[1]::DOUBLE, 0.0::DOUBLE FROM series
+        UNION ALL
+        SELECT f.event_type, f.i + 1,
+               0.5 * s.vals[f.i + 1] + 0.5 * (f.l + f.t),
+               0.3 * ((0.5 * s.vals[f.i + 1] + 0.5 * (f.l + f.t)) - f.l)
+               + 0.7 * f.t
+        FROM fit f JOIN series s USING (event_type)
+        WHERE f.i < len(s.vals)
+    )
+    SELECT f.event_type,
+           f.i AS n_days,
+           round(f.l, 4) AS level,
+           round(f.t, 4) AS trend,
+           round(f.l + f.t, 4) AS forecast_next
+    FROM fit f JOIN series s USING (event_type)
+    WHERE f.i = len(s.vals)
+    """,
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing (α=0.5, β=0.3) over each
+    event type's daily value series, forecasting the next day — the
+    sequential recurrence that no window frame expresses, run as an
+    in-array fold with a (level, trend) STRUCT accumulator (the EWMA
+    idiom generalized to a 2-state recurrence). The oracle states the
+    same recurrence as a RECURSIVE CTE over the series index — DuckDB's
+    chained struct list_reduce was observed to diverge from its own
+    single-step semantics, so the recursion is the trustworthy twin;
+    identical IEEE op sequence, exact match. Series
+    collapse to (type, day) grain before any collection, so the folded
+    arrays are days-long regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    )
+    a, b = 0.5, 0.3
+    init = F.struct(
+        F.element_at("vals", 1).cast("double").alias("l"),
+        F.lit(0.0).alias("t"),
+    )
+    rest = F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0)))
+
+    def step(acc, x):
+        new_l = a * x.cast("double") + (1 - a) * (acc["l"] + acc["t"])
+        new_t = b * (new_l - acc["l"]) + (1 - b) * acc["t"]
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    fitted = series.select(
+        "event_type",
+        F.size("vals").alias("n_days"),
+        F.aggregate(rest, init, step).alias("s"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s.l"), 4).alias("level"),
+        F.round(F.col("s.t"), 4).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.t"), 4).alias("forecast_next"),
+    )
+
+
+@query(
+    "weekly_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT avg(v) AS overall FROM daily)
+    SELECT dow,
+           count(*) AS n_days,
+           round(avg(v), 2) AS avg_value,
+           round(avg(v) / base.overall, 6) AS seasonal_index
+    FROM daily, base
+    GROUP BY dow, base.overall
+    """,
+)
+def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices (avg daily total per weekday vs
+    the overall daily mean) — the multiplicative-decomposition seasonal
+    component, and the sanity input to any forecast. Day-grain
+    aggregation first, so the index math runs on ≤ |days| rows; the
+    overall mean is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.dayofweek(F.to_date("ts")).alias("dow")
+    ).agg(F.sum("value").alias("v"))
+    base = daily.agg(F.avg("v").alias("overall"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("v"), 2).alias("avg_value"),
+            F.round(F.avg("v") / F.first("overall"), 6).alias("seasonal_index"),
+        )
+    )
