@@ -1632,3 +1632,91 @@ def q_funnel_with_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_6h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_6h")))
     )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    paths AS (
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+               count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the most frequent 3-step event-type
+    sequences across all users (the product-analytics 'top paths'
+    report). Two lead() offsets share one user-ordered window pass;
+    paths aggregate map-side (bounded domain: |types|^3), so nothing
+    after the window is fact-sized. Deterministic (n desc, path)
+    top-15."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           round(avg(n), 4) AS avg_rows,
+           CAST(quantile_cont(n, 0.99) AS BIGINT) AS p99_rows,
+           round(max(n) / avg(n), 4) AS skew_factor,
+           CAST(sum(CASE WHEN n > 2 * (SELECT avg(n) FROM per_key)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the events→user_id partitioning
+    — the report that decides whether a join/agg needs the salting
+    remedy (operators/skew): max/avg/p99 per-key row counts, the
+    max-to-mean skew factor, and the hot-key count (> 2x mean). One
+    key-grain agg then one 1-row summary; the 2x-mean threshold is a
+    broadcast scalar, not a second scan of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    mean = per_key.agg(F.avg("n").alias("mean_n"))
+    return (
+        per_key.crossJoin(F.broadcast(mean))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_rows"),
+            F.round(F.avg("n"), 4).alias("avg_rows"),
+            F.percentile("n", F.lit(0.99)).cast("bigint").alias("p99_rows"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+            F.sum(
+                (F.col("n") > 2 * F.col("mean_n")).cast("bigint")
+            ).alias("n_hot_keys"),
+        )
+    )
