@@ -1720,3 +1720,82 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_hot_keys"),
         )
     )
+
+
+@query(
+    "user_purge_audit",
+    oracle="""
+    WITH requests AS (
+        SELECT user_id FROM events
+        WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT (SELECT count(*) FROM requests) AS n_requests,
+           CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_events_purged,
+           CAST(sum(CASE WHEN r.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_events_remaining
+    FROM events e LEFT JOIN requests r ON e.user_id = r.user_id
+    """,
+)
+def q_user_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast-radius audit: given a deletion
+    request set (proxy: users with ≥3 error events), how many fact
+    rows would purge vs remain — the dry-run every GDPR deletion
+    pipeline reports before the anti-join rewrite executes. The
+    request set is key-grain and broadcasts; the fact is scanned
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    requests = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("user_id", F.lit(1).alias("req"))
+    )
+    joined = ev.join(F.broadcast(requests), "user_id", "left")
+    n_requests = requests.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        joined.agg(
+            F.sum((F.col("req") == 1).cast("bigint")).alias("n_events_purged"),
+            F.sum(F.col("req").isNull().cast("bigint")).alias(
+                "n_events_remaining"
+            ),
+        )
+        .crossJoin(F.broadcast(n_requests))
+        .select(
+            F.col("n").alias("n_requests"),
+            F.coalesce("n_events_purged", F.lit(0)).alias("n_events_purged"),
+            "n_events_remaining",
+        )
+    )
+
+
+@query(
+    "sequence_gap_check",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+                AS BIGINT) AS n_missing,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS n_duplicates,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id
+    FROM events
+    """,
+)
+def q_sequence_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness check over a supposedly-contiguous id
+    sequence: missing ids (span minus distinct) and duplicate ids in
+    one aggregation pass — the dropped/replayed-message detector every
+    log-ingest pipeline runs after a load."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.max("event_id") - F.min("event_id") + 1 - F.countDistinct("event_id")
+        ).alias("n_missing"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_duplicates"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
