@@ -1799,3 +1799,59 @@ def q_sequence_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
     )
+
+
+@query(
+    "value_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, sum(value) AS v
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, user_id) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(v) OVER (PARTITION BY event_type) AS tot
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_users,
+           round((2.0 * sum(i * v)) / (any_value(n) * any_value(tot))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration within each
+    event type (0 = evenly spread, →1 = one whale) — the inequality
+    metric behind revenue-concentration risk and the
+    how-skewed-is-this-key diagnostic in economic form. Rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values sorted ascending with
+    a user_id tie-break, so both engines rank identically; everything
+    past the user-grain agg is user-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("v")
+    )
+    wtype = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v", "user_id"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+        F.sum("v").over(wtype).alias("tot"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.first("n").alias("n_users"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("v")))
+            / (F.first("n") * F.first("tot"))
+            - (F.first("n") + 1.0) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )
