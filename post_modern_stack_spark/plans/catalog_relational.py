@@ -1947,3 +1947,87 @@ def q_rank_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    item_supp AS (
+        SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+    ),
+    pair_supp AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS c_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.c_ab,
+           round(p.c_ab::DOUBLE / n.n, 6) AS support,
+           round(p.c_ab::DOUBLE / sa.c, 6) AS confidence_a_to_b,
+           round(p.c_ab::DOUBLE * n.n / (sa.c * sb.c), 6) AS lift
+    FROM pair_supp p
+    JOIN item_supp sa ON sa.l_partkey = p.part_a
+    JOIN item_supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the basket pairs: support,
+    confidence(A→B), and lift for part pairs co-ordered ≥3 times —
+    the Apriori scoring stage on top of the in-plan pair enumeration
+    (no self-join; see co_ordered_part_pairs). Item supports are a
+    part-grain aggregate that broadcasts onto the pair table; the
+    basket count is a 1-row broadcast — nothing after the basket
+    shuffle is fact-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    """
+                    transform(parts, (x, i) ->
+                        transform(slice(parts, i + 2, size(parts)), y ->
+                            struct(x AS part_a, y AS part_b)))
+                    """
+                )
+            )
+        ).alias("p")
+    )
+    pair_supp = (
+        pairs.groupBy(
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pair_supp.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b")), 6
+            ).alias("lift"),
+        )
+    )
