@@ -1855,3 +1855,53 @@ def q_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "new_vs_returning",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    )
+    SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN CAST(e.ts AS DATE) = f.d0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_events,
+           CAST(sum(CASE WHEN CAST(e.ts AS DATE) > f.d0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_events,
+           count(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.d0
+                               THEN e.user_id END) AS new_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY CAST(e.ts AS DATE)
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split (the growth-accounting daily
+    report): each event classified by whether its day is the user's
+    first-ever day. The first-day table is user-grain and broadcasts;
+    one fact scan, one daily agg."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    joined = ev.join(F.broadcast(first_day), "user_id").select(
+        F.to_date("ts").alias("d"), "d0", "user_id"
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.sum((F.col("d") == F.col("d0")).cast("bigint")).alias("new_events"),
+            F.sum((F.col("d") > F.col("d0")).cast("bigint")).alias(
+                "returning_events"
+            ),
+            F.countDistinct(
+                F.when(F.col("d") == F.col("d0"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_events",
+            "returning_events",
+            "new_users",
+        )
+    )

@@ -2031,3 +2031,61 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "revenue_pareto",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS tot
+        FROM per_cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(sum(CASE WHEN i <= ceil(0.1 * n) THEN rev ELSE 0 END)
+                 / any_value(tot), 6) AS top10pct_share,
+           round(sum(CASE WHEN i <= ceil(0.2 * n) THEN rev ELSE 0 END)
+                 / any_value(tot), 6) AS top20pct_share
+    FROM ranked
+    """,
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the revenue share of the top-10% / top-20%
+    customers (the 80/20 check every revenue review asks for). Ranking
+    runs at CUSTOMER grain — post-aggregate, never over the fact — with
+    a key tie-break so the decile boundary is engine-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    def share(frac, name):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.col("i") <= F.ceil(frac * F.col("n")), F.col("rev")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.first("tot"),
+            6,
+        ).alias(name)
+
+    return ranked.agg(
+        F.first("n").alias("n_customers"),
+        share(0.1, "top10pct_share"),
+        share(0.2, "top20pct_share"),
+    )
