@@ -2089,3 +2089,56 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         share(0.1, "top10pct_share"),
         share(0.2, "top20pct_share"),
     )
+
+
+@query(
+    "order_cycle_time",
+    oracle="""
+    WITH cycle AS (
+        SELECT o.o_orderkey,
+               o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         max(CAST(l.l_shipdate AS DATE))) AS days_to_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(days_to_ship), 4) AS avg_days,
+           CAST(quantile_cont(days_to_ship, 0.5) AS DOUBLE) AS median_days,
+           CAST(max(days_to_ship) AS BIGINT) AS max_days
+    FROM cycle
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment cycle time: days from order date to the
+    LAST line shipment, summarized per priority (the operations SLA
+    report). The per-order max collapses lineitem at the join key
+    grain before the priority rollup — two aggs, the second over
+    order-grain rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cycle = (
+        li.select("l_orderkey", F.to_date("l_shipdate").alias("ship"))
+        .groupBy("l_orderkey")
+        .agg(F.max("ship").alias("last_ship"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderpriority",
+                F.to_date("o_orderdate").alias("odate"),
+            ),
+            "l_orderkey",
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "odate").alias("days_to_ship"),
+        )
+    )
+    return cycle.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("days_to_ship"), 4).alias("avg_days"),
+        F.percentile("days_to_ship", F.lit(0.5)).alias("median_days"),
+        F.max("days_to_ship").cast("bigint").alias("max_days"),
+    )
