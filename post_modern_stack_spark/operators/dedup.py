@@ -614,3 +614,96 @@ def jaccard_pairs_prefix(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[EXT] SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    within each cluster, a vector is dropped when any LOWER-id cluster
+    member sits within cosine ``threshold`` — keeping the min-id
+    representative of every semantic neighborhood.
+
+    Here the cluster assignment is the ``cluster_col`` column (the
+    deterministic stand-in for the k-means step; ``similarity.ivf_top_k``
+    holds the trained-centroid machinery). The quadratic pairwise pass
+    runs PER CLUSTER as one numpy GEMM inside applyInPandas — exactly
+    the SemDeDup recipe: clustering bounds the O(n²) to cluster sizes,
+    clusters dedup in parallel across executors, and nothing is ever
+    all-pairs across the corpus. At 100 TB the same plan holds as long
+    as each cluster's vectors fit one task (the paper's k is chosen to
+    make it so).
+
+    Emits one row per vector: (id, cluster, n_close_lower, keep).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{id_col} long, {cluster_col} int, n_close_lower long, keep int"
+
+    def dedup_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        # strictly-lower-triangular mask: neighbors with a smaller id
+        close = np.tril(sims >= threshold, k=-1)
+        n_close = close.sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                cluster_col: pdf[cluster_col],
+                "n_close_lower": n_close.astype("int64"),
+                "keep": (n_close == 0).astype("int32"),
+            }
+        )
+
+    return (
+        embeddings.select(id_col, cluster_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(dedup_cluster, schema=schema)
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] best-survivor selection after near-dup clustering: per
+    cluster keep the highest-``score_col`` member (ties → min id), the
+    way production dedup keeps the cleanest copy instead of an
+    arbitrary one.
+
+    ``clusters`` is (id, cluster_id) covering only docs WITH a
+    duplicate (cluster_pairs output); rows absent from it are
+    singletons and survive unconditionally (cluster_id = own id).
+    One broadcast-able left join (the cluster table is duplicate rows
+    only — a small fraction of the corpus) + one max_by per cluster.
+    """
+    joined = df.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    # single-pass argmax: widened composite orders by (score, -id) so
+    # max_by picks highest score with min-id tie-break (the decimal
+    # composite idiom — never a padded string, never cast-then-max)
+    best = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), -F.col(id_col)),
+        ).alias("best_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return joined.join(best, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        F.col(score_col),
+        (F.col(id_col) == F.col("best_id")).cast("int").alias("kept"),
+    )

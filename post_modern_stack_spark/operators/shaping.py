@@ -162,3 +162,48 @@ def pps_systematic_sample(
         .filter(F.col("smp_rank") <= k)  # last threshold == total edge case
         .drop("__cum", "__total", "__picks_before", "__picks_through")
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """[EXT] sequence packing for training: greedy first-fit of
+    documents into fixed token-budget bins, per group (shard).
+
+    The canonical pre-training batching step — concatenate docs into
+    ``budget``-token training sequences without splitting documents.
+    Greedy in ``id_col`` order: a doc opens a new bin iff it would
+    overflow the current one (an oversized doc gets its own bin).
+
+    Engine shape: the packing state (running fill) is inherently
+    sequential PER GROUP, so it runs as applyInPandas over the
+    doc-grain metadata projection — (group, id, size): two longs and a
+    string per doc, ~KB per group even at 100 TB of text. Groups pack
+    in parallel across executors; the text itself never moves. The
+    cross-group layout is embarrassingly parallel, matching how real
+    packers shard by file.
+    """
+    import pandas as pd
+
+    meta = df.select(group_col, id_col, size_col)
+    schema = (
+        f"{group_col} string, {id_col} long, {size_col} long, bin_id long"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for sz in pdf[size_col]:
+            if fill > 0 and fill + sz > budget:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += sz
+        pdf["bin_id"] = bins
+        return pdf
+
+    return meta.groupBy(group_col).applyInPandas(pack, schema=schema)

@@ -622,3 +622,177 @@ def exact_keep_min(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """[EXT] full Gopher-style quality-rule battery (Rae et al. 2021,
+    App. A1.1) — one boolean per rule plus the conjunctive keep flag.
+
+    Unlike ``quality_score`` (a 3-rule scalar), this emits the
+    per-rule diagnosis a curation pipeline needs to TUNE filters:
+    which rule is killing which source. Pure per-row expressions —
+    shuffle-free, codegen-covered, scan-bound at 100 TB.
+
+    Rules (thresholds are the published Gopher defaults, word-count
+    bounds relaxed to the synthetic corpus' scale):
+      r_word_count    5 <= n_words <= 100000
+      r_mean_word_len 2 <= mean word length <= 12
+      r_symbol        (#'#' + #'...') / n_words <= 0.1
+      r_bullet        < 90% of lines start with a bullet
+      r_ellipsis      < 30% of lines end with an ellipsis
+      r_alpha         >= 80% of words contain an alphabetic char
+      r_stopwords     >= 2 distinct common stopwords present
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = sum_word_len / n_words
+    n_hash = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stopwords = F.array(
+        *[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(F.filter(stopwords, lambda s: F.array_contains(lower_words, s)))
+
+    r_word_count = (n_words >= 5) & (n_words <= 100000)
+    r_mean_word_len = (mean_word_len >= 2) & (mean_word_len <= 12)
+    r_symbol = symbol_ratio <= 0.1
+    r_bullet = (n_bullet_lines / n_lines) < 0.9
+    r_ellipsis = (n_ellipsis_lines / n_lines) < 0.3
+    r_alpha = (n_alpha_words / n_words) >= 0.8
+    r_stopwords = n_stop >= 2
+    keep = (
+        r_word_count
+        & r_mean_word_len
+        & r_symbol
+        & r_bullet
+        & r_ellipsis
+        & r_alpha
+        & r_stopwords
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        r_word_count.cast("int").alias("r_word_count"),
+        r_mean_word_len.cast("int").alias("r_mean_word_len"),
+        r_symbol.cast("int").alias("r_symbol"),
+        r_bullet.cast("int").alias("r_bullet"),
+        r_ellipsis.cast("int").alias("r_ellipsis"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stopwords.cast("int").alias("r_stopwords"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] DSIR importance weights (Xie et al., NeurIPS 2023):
+    hashed-unigram bag-of-words log-likelihood ratio of each document
+    under the TARGET token distribution vs the RAW corpus distribution.
+    Documents scoring high resemble the target domain and are kept by
+    importance resampling.
+
+    Engine shape: tokens hash to ``n_buckets`` buckets via the
+    portable md5 map (replayable in any SQL engine — same idiom as
+    simhash_portable_pairs). Both distributions are tiny
+    (``n_buckets`` rows) aggregates, Laplace-smoothed (+1), and joined
+    back broadcast — so the whole op is one explode + one hash-agg on
+    the bucket key + one doc-grain agg, regardless of corpus size.
+
+    ``target_filter``: boolean Column selecting the target-domain rows
+    (e.g. ``F.col('source') == 'src0'``).
+    """
+    toks = df.select(
+        "doc_id",
+        target_filter.alias("__is_target"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        toks.filter("__is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # smoothed log-prob tables; totals ride along as literals via a
+    # broadcast crossJoin of the 1-row aggregate
+    raw_tot = raw.agg(F.sum("c_raw").alias("n_raw"))
+    tgt_tot = tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    dist = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + n_buckets))
+                - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 4).alias("dsir_logratio"),
+        )
+    )
+
+
+# GPT-2-style pre-tokenizer alternation (contraction | alpha | digit |
+# punct | whitespace). Kept to constructs Java regex and RE2 treat
+# identically (greedy leftmost alternation, no lookaround) so a SQL
+# oracle can replay it byte-for-byte.
+BPE_PRETOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_pretokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """[EXT] BPE-ish pre-tokenization counts: the GPT-2 regex splits
+    text into the pieces a BPE tokenizer would merge within, giving a
+    much better token-count estimate than whitespace words — the unit
+    every training-data budget is denominated in.
+
+    Emits per doc: pre-token count (whitespace runs excluded), class
+    breakdown (alpha/digit/punct), and fertility = pre-tokens per
+    whitespace word. Pure per-row regexp work — shuffle-free,
+    scan-bound."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    non_ws = F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+    n_pre = F.size(non_ws)
+    n_alpha = F.size(F.filter(pieces, lambda p: p.rlike("^ ?[A-Za-z]+$")))
+    n_digit = F.size(F.filter(pieces, lambda p: p.rlike("^ ?[0-9]+$")))
+    n_words = F.size(F.split(F.col(text_col), r"\s+"))
+    return df.select(
+        "doc_id",
+        n_pre.cast("long").alias("n_pretokens"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        (n_pre - n_alpha - n_digit).cast("long").alias("n_other"),
+        F.round(n_pre / n_words, 6).alias("fertility"),
+    )

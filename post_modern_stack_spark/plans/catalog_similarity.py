@@ -346,3 +346,39 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, v: a + v * v)), 4
         ).alias("whitened_norm"),
     )
+
+
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    close AS (
+      SELECT b.vec_id AS id_b, count(*) AS n_close
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.5
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(c.n_close, 0)::BIGINT AS n_close_lower,
+           CASE WHEN c.id_b IS NULL THEN 1 ELSE 0 END AS keep
+    FROM e LEFT JOIN close c ON c.id_b = e.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup semantic dedup: per-cluster cosine neighborhoods,
+    min-id representative kept (operators/dedup.semantic_dedup). The
+    cluster column bounds the quadratic pass; one numpy GEMM per
+    cluster via applyInPandas — the paper's recipe verbatim, with
+    `label` standing in for the k-means assignment."""
+    from post_modern_stack_spark.operators import dedup
+
+    return dedup.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5
+    )

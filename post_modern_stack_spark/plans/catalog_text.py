@@ -1441,3 +1441,284 @@ def q_near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     )
     return dedup.cluster_pairs(verified)
+
+
+@query(
+    "gopher_rules",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+               AS mwl,
+             (len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) / 3.0)
+               / len(w) AS symbol_ratio,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+               / len(lines) AS bullet_frac,
+             len(list_filter(lines,
+                 l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+               / len(lines) AS ellipsis_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / len(w) AS alpha_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(w, x -> lower(x)), s)))
+               AS n_stop
+      FROM d
+    )
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           (n_words BETWEEN 5 AND 100000)::INT AS r_word_count,
+           (mwl BETWEEN 2 AND 12)::INT AS r_mean_word_len,
+           (symbol_ratio <= 0.1)::INT AS r_symbol,
+           (bullet_frac < 0.9)::INT AS r_bullet,
+           (ellipsis_frac < 0.3)::INT AS r_ellipsis,
+           (alpha_frac >= 0.8)::INT AS r_alpha,
+           (n_stop >= 2)::INT AS r_stopwords,
+           ((n_words BETWEEN 5 AND 100000) AND (mwl BETWEEN 2 AND 12)
+            AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+            AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+            AND n_stop >= 2)::INT AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] full Gopher quality-rule battery with per-rule booleans
+    (textstats.gopher_rules) — the tunable-diagnosis form of the
+    curation quality gate. Shuffle-free per-row expressions."""
+    return textstats.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dsir_weights",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM b WHERE is_t GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS n_raw,
+                   (SELECT sum(c_tgt) FROM tgt) AS n_tgt),
+    dist AS (
+      SELECT raw.bucket,
+             ln((coalesce(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 1024))
+             - ln((c_raw + 1)::DOUBLE / (n_raw + 1024)) AS log_ratio
+      FROM raw LEFT JOIN tgt USING (bucket), tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(log_ratio), 4) AS dsir_logratio
+    FROM b JOIN dist USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance weights (hashed-unigram log-likelihood
+    ratio, target = source 'src0') — the data-selection score for
+    importance resampling toward a target domain. Portable md5 bucket
+    map so the oracle replays the exact hash semantics
+    (textstats.dsir_weights)."""
+    return textstats.dsir_weights(
+        load_table(spark, sf_dir, "documents"),
+        target_filter=F.col("source") == "src0",
+    )
+
+
+@query(
+    "pack_docs",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, n_tokens, rn, 0::BIGINT AS bin_id,
+             n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= 256
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= 256
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM p
+    """,
+)
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequence packing: greedy first-fit of docs into 256-token
+    training bins per source shard (shaping.pack_greedy). Sequential
+    state per group → applyInPandas over the doc-grain metadata
+    projection; groups pack in parallel. Oracle replays the greedy
+    recurrence with a recursive CTE."""
+    from post_modern_stack_spark.operators.shaping import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy(
+        docs, budget=256, group_col="source", id_col="doc_id",
+        size_col="n_tokens",
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+        WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    jacc AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= 0.5
+    ),
+    x AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+        FROM sh
+    ),
+    mins AS (
+        SELECT doc_id, r.s,
+               min(((1103515245 * (r.s + 1)) % 1000000007 * x
+                    + (12345 * (r.s + 1) + 67890) % 1000000007)
+                   % 1000000007) AS h
+        FROM x, range(16) r(s)
+        GROUP BY doc_id, r.s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS band_key
+        FROM mins GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT j.id_a, j.id_b FROM jacc j JOIN cand c
+          ON j.id_a = c.id_a AND j.id_b = c.id_b
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+    ),
+    cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+    q AS (
+        SELECT doc_id,
+               round(((CASE WHEN len(string_split(text,' ')) BETWEEN 10 AND 1000
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN len(list_filter(string_split(text,' '),
+                                   w -> w IN ('the','a','of','and','to','in'))) > 0
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN len(list_distinct(string_split(text,' ')))::DOUBLE
+                                 / len(string_split(text,' ')) > 0.1
+                            THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    j AS (
+        SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+               q.quality
+        FROM q LEFT JOIN cl USING (doc_id)
+    ),
+    best AS (
+        SELECT cluster_id,
+               arg_max(doc_id, quality * 1e9 - doc_id) AS best_id,
+               count(*)::BIGINT AS cluster_size
+        FROM j GROUP BY cluster_id
+    )
+    SELECT j.doc_id, j.cluster_id, best.cluster_size, j.quality,
+           (j.doc_id = best.best_id)::INT AS kept
+    FROM j JOIN best USING (cluster_id)
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] END-TO-END dedup with best-survivor selection: portable
+    MinHash-LSH candidates → exact Jaccard verify → connected
+    components → keep the highest-quality member per cluster
+    (dedup.keep_best_per_cluster). The full production shape — "drop
+    duplicates, keep the cleanest copy" — with every stage replayed by
+    the oracle, including the survivor choice."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    candidates = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_mode="md5"
+    )
+    verified = dedup.jaccard_pairs(d, min_jaccard=0.5).join(
+        candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    clusters = dedup.cluster_pairs(verified)
+    quality = textstats.quality_score(d)
+    return dedup.keep_best_per_cluster(quality, clusters, score_col="quality")
+
+
+@query(
+    "bpe_pretokens",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\s A-Za-z0-9]+|\\s+')
+               AS pieces,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_words,
+             len(list_filter(pieces, x -> NOT regexp_matches(x, '^\\s+$')))
+               AS n_pre,
+             len(list_filter(pieces, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+               AS n_alpha,
+             len(list_filter(pieces, x -> regexp_matches(x, '^ ?[0-9]+$')))
+               AS n_digit
+      FROM p
+    )
+    SELECT doc_id,
+           n_pre::BIGINT AS n_pretokens,
+           n_alpha::BIGINT AS n_alpha,
+           n_digit::BIGINT AS n_digit,
+           (n_pre - n_alpha - n_digit)::BIGINT AS n_other,
+           round(n_pre::DOUBLE / n_words, 6) AS fertility
+    FROM c
+    """,
+)
+def q_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE-ish pre-tokenizer counting (textstats.bpe_pretokens):
+    GPT-2 regex pieces + class breakdown + fertility per doc — the
+    token-budget denominator for training-data accounting."""
+    return textstats.bpe_pretokens(load_table(spark, sf_dir, "documents"))

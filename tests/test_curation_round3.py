@@ -1,0 +1,104 @@
+"""Round-3 curation operators: packing, DSIR, Gopher rules, SemDeDup."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_pack_greedy_overflow_and_oversize(spark):
+    # greedy reset + oversized doc gets its own bin
+    rows = [("s", 1, 100), ("s", 2, 100), ("s", 3, 100), ("s", 4, 500), ("s", 5, 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    from post_modern_stack_spark.operators.shaping import pack_greedy
+
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_greedy(df, budget=256).collect()
+    }
+    # 100+100 fits; +100 overflows -> bin1; 500 overflows -> bin2 (alone);
+    # 10 overflows the 500 bin -> bin3
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_pack_greedy_groups_independent(spark):
+    rows = [("a", 1, 200), ("b", 2, 200), ("a", 3, 200), ("b", 4, 200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    from post_modern_stack_spark.operators.shaping import pack_greedy
+
+    out = pack_greedy(df, budget=256).collect()
+    by_src = {(r["source"], r["doc_id"]): r["bin_id"] for r in out}
+    assert by_src == {("a", 1): 0, ("a", 3): 1, ("b", 2): 0, ("b", 4): 1}
+
+
+def test_semantic_dedup_planted_twin(spark):
+    from post_modern_stack_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.001, 0.0]),   # twin of 1 -> dropped
+        (3, 0, [0.0, 1.0, 0.0]),     # orthogonal -> kept
+        (4, 1, [1.0, 0.0, 0.0]),     # same dir but other cluster -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["vec_id"]: (r["keep"], r["n_close_lower"]) for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert got == {1: (1, 0), 2: (0, 1), 3: (1, 0), 4: (1, 0)}
+
+
+def test_gopher_rules_flags(spark):
+    from post_modern_stack_spark.operators.textstats import gopher_rules
+
+    good = "the cat and the dog have fun with a ball of yarn to play"
+    short = "tiny text"
+    symbols = "# # # " + "the of and have that with be to " * 2
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["r_word_count"] == 0 and got[2]["keep"] == 0
+    assert got[3]["r_symbol"] == 0 and got[3]["keep"] == 0
+
+
+def test_dsir_weights_prefers_target_tokens(spark):
+    from post_modern_stack_spark.operators.textstats import dsir_weights
+
+    # target docs use 'aaa bbb'; raw background uses 'xxx yyy'
+    rows = [(i, "t", "aaa bbb aaa bbb") for i in range(5)] + [
+        (i + 10, "r", "xxx yyy xxx yyy") for i in range(5)
+    ] + [(99, "r", "aaa bbb aaa bbb")]  # raw doc that LOOKS like target
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_weights(df, target_filter=F.col("source") == "t").collect()
+    }
+    # the target-looking raw doc scores like the target docs, above background
+    assert got[99] == got[0]
+    assert got[99] > got[10]
+
+
+def test_keep_best_per_cluster_singletons_and_ties(spark):
+    from post_modern_stack_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1)], "doc_id long, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    got = {r["doc_id"]: r for r in keep_best_per_cluster(docs, clusters).collect()}
+    # highest quality wins; tie between 2 and 3 falls to the lower id
+    assert got[2]["kept"] == 1 and got[3]["kept"] == 0 and got[1]["kept"] == 0
+    assert got[2]["cluster_size"] == 3
+    # 7 is a singleton: own cluster, kept
+    assert got[7]["kept"] == 1 and got[7]["cluster_id"] == 7
+
+
+def test_bpe_pretokens_classes(spark):
+    from post_modern_stack_spark.operators.textstats import bpe_pretokens
+
+    df = spark.createDataFrame(
+        [(1, "it's 42 cats!!")], "doc_id long, text string"
+    )
+    r = bpe_pretokens(df).collect()[0]
+    # pieces: "it" "'s" " 42" " cats" "!!"
+    assert r["n_pretokens"] == 5
+    assert r["n_alpha"] == 2 and r["n_digit"] == 1 and r["n_other"] == 2
