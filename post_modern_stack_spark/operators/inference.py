@@ -60,3 +60,142 @@ def popularity_model(n_classes: int) -> Callable:
         return np.tile(scores, (batch.shape[0], 1))
 
     return fn
+
+
+def hashed_text_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+) -> DataFrame:
+    """Sparse hashed bag-of-words features: (id, bucket, x) with x =
+    the token count L1-normalized per doc (fasttext-style averaging).
+    The md5 bucket map keeps the featurizer engine-portable; storage
+    is sparse triples, never a dense vector column."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_features),
+    )
+    from pyspark.sql import Window
+
+    # normalize over a window on the AGGREGATED counts — a totals agg
+    # straight off `toks` would recompute the explode+md5 pass a
+    # second time (measured 2× featurizer cost), and a join would add
+    # a third exchange
+    counts = toks.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    return counts.select(id_col, "bucket", (F.col("c") / n).alias("x"))
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_features: int = 256,
+    n_iter: int = 30,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+):
+    """[EXT] model-based quality filtering, training half: logistic
+    regression by full-batch gradient descent where EVERY data-touching
+    step is a DataFrame aggregation — the GPT-3/fasttext-style quality
+    classifier trained without any ML library.
+
+    Per iteration: weights enter the plan as a LITERAL map expression
+    (``n_features`` entries — no join, no shuffle for the scoring
+    side), margins are one hash agg at doc grain, and the gradient is
+    one hash agg at bucket grain whose result — the only thing ever
+    collected — is the ``n_features``-vector plus a bias row tagged
+    bucket = −1, so each iteration is a SINGLE Spark action (the
+    PageRank/Lloyd iterative pattern — model state driver-side and
+    tiny, data distributed and untouched). At 100 TB the per-iteration
+    cost is two shuffles on (id) and (bucket) keys; ``feats`` should
+    be localCheckpoint-ed by the caller since each iteration re-reads
+    it.
+
+    Returns (weights ndarray [n_features], bias float).
+    """
+    from itertools import chain
+
+    import numpy as np
+
+    w = np.zeros(n_features)
+    b = 0.0
+    n_docs = labels.count()
+    for _ in range(n_iter):
+        wmap = F.create_map(
+            *chain.from_iterable(
+                (F.lit(int(i)), F.lit(float(w[i]))) for i in range(n_features)
+            )
+        )
+        margins = (
+            feats.withColumn("w", F.element_at(wmap, F.col("bucket").cast("int")))
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        )
+        resid = (
+            labels.join(margins, id_col, "left")
+            .na.fill({"m": 0.0})
+            .select(
+                id_col,
+                (1.0 / (1.0 + F.exp(-(F.col("m") + b))) - F.col("y")).alias(
+                    "r"
+                ),
+            )
+        )
+        # bucket −1 carries the bias gradient so grad + bias land in
+        # one collect → one job per iteration
+        contrib = (
+            feats.join(resid, id_col)
+            .select("bucket", (F.col("x") * F.col("r")).alias("gx"))
+            .unionByName(
+                resid.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.col("r").alias("gx"),
+                )
+            )
+        )
+        g = np.zeros(n_features)
+        g_b = 0.0
+        for row in contrib.groupBy("bucket").agg(F.sum("gx").alias("g")).collect():
+            if row["bucket"] == -1:
+                g_b = row["g"]
+            else:
+                g[row["bucket"]] = row["g"]
+        w -= lr * g / n_docs
+        b -= lr * g_b / n_docs
+    return w, b
+
+
+def score_logreg(
+    feats: DataFrame,
+    weights,
+    bias: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scoring half: weights as a literal map expression + one
+    doc-grain agg → sigmoid probability per doc. Stateless and
+    streaming-safe."""
+    from itertools import chain
+
+    import numpy as np
+
+    wmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(int(i)), F.lit(float(v)))
+            for i, v in enumerate(np.asarray(weights))
+        )
+    )
+    return (
+        feats.withColumn("w", F.element_at(wmap, F.col("bucket").cast("int")))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        .select(
+            id_col,
+            (1.0 / (1.0 + F.exp(-(F.col("m") + float(bias))))).alias("p"),
+        )
+    )

@@ -1722,3 +1722,31 @@ def q_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-2 regex pieces + class breakdown + fertility per doc — the
     token-budget denominator for training-data accounting."""
     return textstats.bpe_pretokens(load_table(spark, sf_dir, "documents"))
+
+
+@query("quality_classifier")  # rows-only: float-iterative training
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] model-based quality filtering (GPT-3-style LR filter):
+    train a hashed-bag-of-words logistic regression on a weak label
+    (lang == 'en' as the 'target distribution' stand-in), score every
+    doc, emit per-doc probability + decision. All training steps are
+    DataFrame aggregations (inference.train_logreg) — model state on
+    the driver is one 256-float vector; the corpus never leaves the
+    executors. Features are localCheckpoint-ed once: every GD
+    iteration re-reads them 3×, and recompute would repeat both
+    featurizer shuffles."""
+    from post_modern_stack_spark.operators import inference
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = inference.hashed_text_features(docs).localCheckpoint()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    w, b = inference.train_logreg(feats, labels, n_iter=8, lr=5.0)
+    scored = inference.score_logreg(feats, w, b)
+    return scored.join(labels, "doc_id").select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        F.round("p", 4).alias("p_en"),
+        (F.col("p") >= 0.5).cast("int").alias("pred"),
+    )

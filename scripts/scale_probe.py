@@ -522,7 +522,58 @@ def probe_text_queries(spark, path: str):
             load().filter(F.col("doc_id") % 97 != 0),
             load().filter(F.col("doc_id") % 97 == 0),
         )["final"],
+        "gopher_rules": lambda: textstats.gopher_rules(load()),
+        "bpe_pretokens": lambda: textstats.bpe_pretokens(load()),
+        "dsir_weights": lambda: textstats.dsir_weights(
+            load(), target_filter=F.col("source") == "src0"
+        ),
+        "pack_greedy": lambda: _pack_probe(load()),
+        "logreg_2iter": lambda: _logreg_probe(load()),
+        "semantic_dedup": lambda: _semdedup_probe(spark, load()),
     }
+
+
+def _pack_probe(docs):
+    from post_modern_stack_spark.operators.shaping import pack_greedy
+
+    meta = docs.select(
+        "source", "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy(meta, budget=256)
+
+
+def _logreg_probe(docs):
+    """Featurize + 2 GD iterations + score — the per-iteration cost is
+    the scaling quantity (iteration count is data-size-independent)."""
+    from post_modern_stack_spark.operators import inference
+
+    feats = inference.hashed_text_features(docs).localCheckpoint()
+    labels = docs.select(
+        "doc_id", (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).cast("double").alias("y")
+    )
+    w, b = inference.train_logreg(feats, labels, n_iter=2, lr=2.0)
+    return inference.score_logreg(feats, w, b)
+
+
+def _semdedup_probe(spark, docs):
+    """Synthetic 32-dim embeddings, ~1000-member clusters — the
+    per-cluster GEMM grain SemDeDup's k is chosen to produce."""
+    from post_modern_stack_spark.operators import dedup
+
+    # cluster COUNT scales with corpus so cluster SIZE stays ~1000 —
+    # exactly how SemDeDup picks k; a fixed k would grow per-task GEMMs
+    # quadratically with corpus size
+    n_clusters = max(docs.count() // 1000, 1)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(n_clusters)).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    return dedup.semantic_dedup(emb, threshold=0.8)
 
 
 def main() -> None:

@@ -102,3 +102,44 @@ def test_bpe_pretokens_classes(spark):
     # pieces: "it" "'s" " 42" " cats" "!!"
     assert r["n_pretokens"] == 5
     assert r["n_alpha"] == 2 and r["n_digit"] == 1 and r["n_other"] == 2
+
+
+def test_logreg_learns_planted_signal(spark):
+    from post_modern_stack_spark.operators import inference
+
+    rows = [(i, "good clean prose text here", 1.0) for i in range(20)] + [
+        (i + 100, "zz qq xx spam junk noise", 0.0) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    feats = inference.hashed_text_features(docs).localCheckpoint()
+    labels = docs.select("doc_id", "y")
+    w, b = inference.train_logreg(feats, labels, n_iter=15, lr=5.0)
+    scored = {r["doc_id"]: r["p"] for r in inference.score_logreg(feats, w, b).collect()}
+    assert all(scored[i] > 0.6 for i in range(20))
+    assert all(scored[i + 100] < 0.4 for i in range(20))
+
+
+def test_logreg_matches_numpy_reference(spark):
+    import numpy as np
+    from post_modern_stack_spark.operators import inference
+
+    rows = [(1, "a b", 1.0), (2, "a c", 1.0), (3, "d e", 0.0), (4, "d f", 0.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    nf = 16
+    feats = inference.hashed_text_features(docs, n_features=nf)
+    labels = docs.select("doc_id", "y")
+    w, b = inference.train_logreg(feats, labels, n_features=nf, n_iter=5, lr=1.0)
+
+    # dense numpy replay of the same GD
+    fp = feats.toPandas()
+    X = np.zeros((4, nf))
+    ids = {1: 0, 2: 1, 3: 2, 4: 3}
+    for _, r in fp.iterrows():
+        X[ids[r["doc_id"]], int(r["bucket"])] = r["x"]
+    y = np.array([1.0, 1.0, 0.0, 0.0])
+    wn, bn = np.zeros(nf), 0.0
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ wn + bn)))
+        wn -= 1.0 * (X.T @ (p - y)) / 4
+        bn -= 1.0 * (p - y).sum() / 4
+    assert np.allclose(w, wn, atol=1e-9) and abs(b - bn) < 1e-9
