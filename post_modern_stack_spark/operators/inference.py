@@ -117,6 +117,13 @@ def train_logreg(
     be localCheckpoint-ed by the caller since each iteration re-reads
     it.
 
+    Corpus-scale contract: quality classifiers are TRAINED on a
+    bounded labeled sample (GPT-3's filter: ~10⁵–10⁶ docs) and only
+    SCORED over the full corpus — pass sampled feats here (measured
+    ~25 s/iteration over 1 M-doc feats on local[32]; sample before
+    featurizing), then ``score_logreg`` streams the whole corpus in
+    one shuffle-light pass.
+
     Returns (weights ndarray [n_features], bias float).
     """
     from itertools import chain

@@ -207,3 +207,46 @@ def pack_greedy(
         return pdf
 
     return meta.groupBy(group_col).applyInPandas(pack, schema=schema)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] weighted sampling without replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws u ~ U(0,1] from a
+    PORTABLE md5 hash of its id and ranks by ln(u)/w — the top-k per
+    group is a weight-proportional sample. Deterministic, replayable
+    in any engine, and distributed: one hash-partition window per
+    group, no global state, no RNG coordination across executors —
+    the property that makes A-ES the standard cluster-side sampler.
+
+    ln(u)/w preserves the u^(1/w) order (ln is monotone, w > 0) while
+    staying in well-conditioned float range for tiny u."""
+    from pyspark.sql import Window
+
+    # 13 hex chars = 52 bits → u uniform in (0, 1], never 0
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 52)
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__sk"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__sk", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col(weight_col),
+            F.round("__sk", 6).alias("sample_key"),
+            F.col("__rn").cast("long").alias("rank_in_group"),
+        )
+    )

@@ -631,7 +631,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     Unlike ``quality_score`` (a 3-rule scalar), this emits the
     per-rule diagnosis a curation pipeline needs to TUNE filters:
     which rule is killing which source. Pure per-row expressions —
-    shuffle-free, codegen-covered, scan-bound at 100 TB.
+    shuffle-free, scan-bound at 100 TB. Word-grain quantities are
+    computed with single-pass regexes on the raw string, NOT
+    higher-order array lambdas: HOF lambdas are interpreted (outside
+    codegen) and the lambda form measured 35 s vs 19 s at 1 M docs.
 
     Rules (thresholds are the published Gopher defaults, word-count
     bounds relaxed to the synthetic corpus' scale):
@@ -643,18 +646,17 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
       r_alpha         >= 80% of words contain an alphabetic char
       r_stopwords     >= 2 distinct common stopwords present
     """
-    words = F.split(F.col(text_col), r"\s+")
-    lines = F.split(F.col(text_col), r"\n")
-    n_words = F.size(words)
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    n_words = F.size(F.split(text, r"\s+"))
     n_lines = F.size(lines)
-    sum_word_len = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    # total word chars = non-whitespace chars (split-on-\s+ semantics)
+    mean_word_len = (
+        F.length(F.regexp_replace(text, r"\s+", "")) / n_words
     )
-    mean_word_len = sum_word_len / n_words
-    n_hash = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
     n_ellipsis = (
-        F.length(text_col)
-        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
     ) / 3
     symbol_ratio = (n_hash + n_ellipsis) / n_words
     n_bullet_lines = F.size(
@@ -663,12 +665,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_ellipsis_lines = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
     )
-    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    stopwords = F.array(
-        *[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    # one regex pass: a maximal \S+ run containing a letter
+    n_alpha_words = F.regexp_count(text, F.lit(r"(?:^|\s)\S*[A-Za-z]\S*"))
+    # distinct-stopword count as 8 scalar regex probes on the lowered
+    # string — codegen'd, no per-row array materialization
+    lower_text = F.lower(text)
+    n_stop = sum(
+        lower_text.rlike(rf"(^|\s){s}(\s|$)").cast("int")
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
     )
-    lower_words = F.transform(words, F.lower)
-    n_stop = F.size(F.filter(stopwords, lambda s: F.array_contains(lower_words, s)))
 
     r_word_count = (n_words >= 5) & (n_words <= 100000)
     r_mean_word_len = (mean_word_len >= 2) & (mean_word_len <= 12)
@@ -713,30 +718,39 @@ def dsir_weights(
     Documents scoring high resemble the target domain and are kept by
     importance resampling.
 
-    Engine shape: tokens hash to ``n_buckets`` buckets via the
-    portable md5 map (replayable in any SQL engine — same idiom as
-    simhash_portable_pairs). Both distributions are tiny
-    (``n_buckets`` rows) aggregates, Laplace-smoothed (+1), and joined
-    back broadcast — so the whole op is one explode + one hash-agg on
-    the bucket key + one doc-grain agg, regardless of corpus size.
+    Engine shape: ONE explode+md5 pass reduces straight to
+    (doc, bucket, c) sparse counts — everything downstream (both
+    distributions, the rejoin, the doc-grain score) reads that small
+    table, never the token stream again. The first version derived
+    raw/target/score each directly from the token explode and
+    recomputed the md5 pass three times: 65 s → 30 s at 1 M docs.
+    ``doc_counts`` is localCheckpoint-ed because its derivation ends
+    in a shuffle that all three consumers would repeat. Distributions
+    are ``n_buckets`` rows, Laplace-smoothed (+1), broadcast back.
 
     ``target_filter``: boolean Column selecting the target-domain rows
     (e.g. ``F.col('source') == 'src0'``).
     """
-    toks = df.select(
-        "doc_id",
-        target_filter.alias("__is_target"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-        % F.lit(n_buckets),
+    doc_counts = (
+        df.select(
+            "doc_id",
+            target_filter.alias("__is_target"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets),
+        )
+        .groupBy("doc_id", "__is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    raw = doc_counts.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
     tgt = (
-        toks.filter("__is_target")
+        doc_counts.filter("__is_target")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .agg(F.sum("c").alias("c_tgt"))
     )
     # smoothed log-prob tables; totals ride along as literals via a
     # broadcast crossJoin of the 1-row aggregate
@@ -756,11 +770,13 @@ def dsir_weights(
         )
     )
     return (
-        toks.join(F.broadcast(dist), "bucket")
+        doc_counts.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("log_ratio"), 4).alias("dsir_logratio"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("log_ratio")), 4).alias(
+                "dsir_logratio"
+            ),
         )
     )
 

@@ -1750,3 +1750,40 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 4).alias("p_en"),
         (F.col("p") >= 0.5).cast("int").alias("pred"),
     )
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1.0)
+               / 4503599627370496.0 AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_tokens, ln(u) / n_tokens AS sk,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ln(u) / n_tokens DESC, doc_id) AS rn
+      FROM d
+    )
+    SELECT source, doc_id, n_tokens, round(sk, 6) AS sample_key,
+           rn::BIGINT AS rank_in_group
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] weighted reservoir sample (A-ES), 5 docs per source with
+    probability ∝ token count — deterministic portable-hash randomness,
+    so the oracle replays the exact sample (shaping.
+    weighted_sample_per_group). One window per group key; no RNG
+    state, no driver coordination."""
+    from post_modern_stack_spark.operators.shaping import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return weighted_sample_per_group(docs, k=5, weight_col="n_tokens")

@@ -544,16 +544,18 @@ def _pack_probe(docs):
 
 
 def _logreg_probe(docs):
-    """Featurize + 2 GD iterations + score — the per-iteration cost is
-    the scaling quantity (iteration count is data-size-independent)."""
+    """Train on a bounded ~100k-doc sample, score the FULL corpus —
+    the production contract (classifiers never train on the whole
+    corpus; scoring is the part that must scale)."""
     from post_modern_stack_spark.operators import inference
 
-    feats = inference.hashed_text_features(docs).localCheckpoint()
-    labels = docs.select(
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(10)) == 0)
+    tfeats = inference.hashed_text_features(sample).localCheckpoint()
+    labels = sample.select(
         "doc_id", (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).cast("double").alias("y")
     )
-    w, b = inference.train_logreg(feats, labels, n_iter=2, lr=2.0)
-    return inference.score_logreg(feats, w, b)
+    w, b = inference.train_logreg(tfeats, labels, n_iter=2, lr=2.0)
+    return inference.score_logreg(inference.hashed_text_features(docs), w, b)
 
 
 def _semdedup_probe(spark, docs):

@@ -143,3 +143,14 @@ def test_logreg_matches_numpy_reference(spark):
         wn -= 1.0 * (X.T @ (p - y)) / 4
         bn -= 1.0 * (p - y).sum() / 4
     assert np.allclose(w, wn, atol=1e-9) and abs(b - bn) < 1e-9
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    """With weights 1000:1, the heavy rows should dominate the sample."""
+    from post_modern_stack_spark.operators.shaping import weighted_sample_per_group
+
+    rows = [("g", i, 1000 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    got = weighted_sample_per_group(df, k=10, weight_col="w").collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    assert len(got) == 10 and heavy >= 8
