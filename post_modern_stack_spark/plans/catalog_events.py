@@ -1905,3 +1905,82 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_users",
         )
     )
+
+
+@query(
+    "cuped_adjusted_lift",
+    oracle="""
+    WITH rng AS (
+      SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_ms(ts) < lo + (hi - lo) // 2
+                      THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN epoch_ms(ts) >= lo + (hi - lo) // 2
+                      THEN value ELSE 0 END) AS post
+      FROM events, rng
+      GROUP BY user_id
+    ),
+    st AS (
+      SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+             avg(pre) AS mu
+      FROM per_user
+    ),
+    adj AS (
+      SELECT user_id % 2 AS arm, post,
+             post - theta * (pre - mu) AS adjusted
+      FROM per_user, st
+    )
+    SELECT arm,
+           count(*)::BIGINT AS n_users,
+           round(avg(post), 4) AS mean_post,
+           round(avg(adjusted), 4) AS mean_adjusted,
+           round(var_pop(post), 2) AS var_post,
+           round(var_pop(adjusted), 2) AS var_adjusted
+    FROM adj GROUP BY arm
+    """,
+)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CUPED variance-reduced A/B readout: pre-period value per
+    user is the covariate, theta = cov(pre,post)/var(pre) pooled, the
+    adjusted metric's variance drop is the whole point of the method.
+    Engine shape: one user-grain agg over the fact (the only big
+    shuffle), then 1-row stats broadcast back — the experiment readout
+    never re-scans events. Arms are user_id parity (deterministic
+    stand-in for the assignment table)."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    mid = F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2)
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_ms") < mid, F.col("value")).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.col("ts_ms") >= mid, F.col("value")).otherwise(0.0)
+            ).alias("post"),
+        )
+    )
+    st = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("mu"),
+    )
+    adj = per_user.crossJoin(F.broadcast(st)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mu"))).alias(
+            "adjusted"
+        ),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("post"), 4).alias("mean_post"),
+        F.round(F.avg("adjusted"), 4).alias("mean_adjusted"),
+        F.round(F.var_pop("post"), 2).alias("var_post"),
+        F.round(F.var_pop("adjusted"), 2).alias("var_adjusted"),
+    )

@@ -569,3 +569,53 @@ def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("v") / F.first("overall"), 6).alias("seasonal_index"),
         )
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_ms
+      FROM e WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts_ms AS valid_from,
+           lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+             AS valid_to,
+           (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL)::INT
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream to change rows (event_type transitions) and emit
+    validity intervals [valid_from, valid_to) with an is_current flag
+    — the warehouse dimension-versioning pattern built from an
+    append-only log. Two windows over ONE (user) partitioning: the
+    change-detect lag and the interval lead reuse the same exchange
+    (Catalyst folds them into one sort+window pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts_ms", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_ms").alias("valid_from"),
+        F.lead("ts_ms").over(w2).alias("valid_to"),
+        F.lead("ts_ms").over(w2).isNull().cast("int").alias("is_current"),
+    )

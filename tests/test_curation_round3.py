@@ -154,3 +154,45 @@ def test_weighted_sample_bias_toward_heavy_weights(spark):
     got = weighted_sample_per_group(df, k=10, weight_col="w").collect()
     heavy = sum(1 for r in got if r["doc_id"] < 20)
     assert len(got) == 10 and heavy >= 8
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    """Per-row scoring must never shuffle — scan-bound at 100 TB."""
+    from post_modern_stack_spark.operators.textstats import gopher_rules
+    from post_modern_stack_spark.registry import load_table
+
+    plan = _plan_of(gopher_rules(load_table(spark, "/root/testdata/sf0.001", "documents")))
+    assert "Exchange" not in plan
+
+
+def test_bpe_pretokens_plan_is_shuffle_free(spark):
+    from post_modern_stack_spark.operators.textstats import bpe_pretokens
+    from post_modern_stack_spark.registry import load_table
+
+    plan = _plan_of(bpe_pretokens(load_table(spark, "/root/testdata/sf0.001", "documents")))
+    assert "Exchange" not in plan
+
+
+def test_dsir_plan_single_token_pass(spark):
+    """The token explode+md5 must appear ONCE in the physical plan —
+    distributions and doc scores all read the checkpointed sparse
+    counts (the 3x-recompute regression this plan replaced)."""
+    from post_modern_stack_spark.operators.textstats import dsir_weights
+    from post_modern_stack_spark.registry import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan_of(dsir_weights(docs, target_filter=F.col("source") == "src0"))
+    # the checkpoint boundary hides the explode; no Generate may leak
+    # into the consumer plan (it would mean a re-derivation)
+    assert "Generate" not in plan
