@@ -184,9 +184,9 @@ def score_logreg(
     bias: float,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Scoring half: weights as a literal map expression + one
-    doc-grain agg → sigmoid probability per doc. Stateless and
-    streaming-safe."""
+    """Scoring half over SPARSE FEATURES: weights as a literal map
+    expression + one doc-grain agg → sigmoid probability per doc.
+    For streams use ``score_logreg_rowwise`` (no agg, no shuffle)."""
     from itertools import chain
 
     import numpy as np
@@ -206,3 +206,61 @@ def score_logreg(
             (1.0 / (1.0 + F.exp(-(F.col("m") + float(bias))))).alias("p"),
         )
     )
+
+
+def score_logreg_rowwise(
+    df: DataFrame,
+    weights,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+) -> DataFrame:
+    """Stateless per-row scorer: hashes each token, folds the weight
+    lookups inside the row — NO featurize shuffle, no grouping — so it
+    drops straight into a streaming ``select`` (train offline with
+    ``train_logreg``, score in-flight here). Numerically equal to
+    ``score_logreg`` over ``hashed_text_features`` up to float
+    summation order (parity-tested at 1e-9): margin =
+    Σ_tok w[bucket(tok)] / n_tokens."""
+    return df.select(
+        id_col,
+        logreg_prob_expr(text_col, weights, bias, n_features).alias("p"),
+    )
+
+
+def logreg_prob_expr(
+    text_col: str,
+    weights,
+    bias: float,
+    n_features: int = 256,
+) -> F.Column:
+    """The sigmoid probability as one Column expression — the form a
+    streaming gate composes into its projection
+    (streaming/curation_stream.quality_gate)."""
+    from itertools import chain
+
+    import numpy as np
+
+    wmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(int(i)), F.lit(float(v)))
+            for i, v in enumerate(np.asarray(weights))
+        )
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    lookups = F.transform(
+        toks,
+        lambda t: F.element_at(
+            wmap,
+            (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % F.lit(n_features)
+            ).cast("int"),
+        ),
+    )
+    margin = (
+        F.aggregate(lookups, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(toks)
+    )
+    return 1.0 / (1.0 + F.exp(-(margin + float(bias))))

@@ -581,3 +581,100 @@ def whiten_embeddings(
     return corpus.select(
         F.col(id_col), project(F.col(vec_col)).alias("whitened")
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """[EXT] fully-distributed Lloyd k-means: the corpus never leaves
+    the executors (contrast ``_train_centroids``, which trains on a
+    bounded driver sample for IVF).
+
+    Per iteration: assignment is one Arrow matmul per batch against
+    broadcast centroids (pandas UDF, argmin of squared distance);
+    the update is posexplode to (cluster, dim, val) + one hash agg —
+    map-side combine collapses each partition to ≤ k×dim partials, so
+    the shuffle is tiny regardless of corpus size. Only the k×dim
+    centroid matrix is ever collected (the PageRank/logreg iterative
+    pattern). Init = deterministic farthest-point traversal (the
+    greedy k-means++ variant): seed with the lowest-id vector, then
+    k−1 distributed argmax-of-min-distance passes — lowest-id-block
+    init collapsed multiple centroids into one cluster on clustered
+    data.
+
+    Returns (assignments DataFrame [id, cluster], centroids ndarray).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    first = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    )
+    chosen = [np.asarray(first[0][1], dtype=np.float64)]
+    for _ in range(k - 1):
+        c = np.vstack(chosen)
+
+        @pandas_udf("double")
+        def min_d2(emb: pd.Series) -> pd.Series:
+            mat = np.vstack(emb.to_numpy()).astype(np.float64)
+            d = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            return pd.Series(d.min(axis=1))
+
+        far = (
+            embeddings.select(id_col, vec_col, min_d2(F.col(vec_col)).alias("d2"))
+            .agg(
+                F.max_by(
+                    F.col(vec_col), F.struct(F.col("d2"), -F.col(id_col))
+                ).alias("v")
+            )
+            .collect()
+        )
+        chosen.append(np.asarray(far[0]["v"], dtype=np.float64))
+    centroids = np.vstack(chosen)
+
+    def assigner(cents):
+        c = cents.copy()
+
+        @pandas_udf("int")
+        def assign(emb: pd.Series) -> pd.Series:
+            mat = np.vstack(emb.to_numpy()).astype(np.float64)
+            # argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x·c): one GEMM
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return assign
+
+    for _ in range(n_iter):
+        assigned = embeddings.select(
+            id_col,
+            vec_col,
+            assigner(centroids)(F.col(vec_col)).alias("cluster"),
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = np.zeros(k)
+        for r in sums:
+            new[r["cluster"], r["dim"]] = r["s"] / r["n"]
+            counts[r["cluster"]] = r["n"]
+        # empty clusters keep their previous centroid
+        centroids = new
+    assignments = embeddings.select(
+        id_col, assigner(centroids)(F.col(vec_col)).alias("cluster")
+    )
+    return assignments, centroids

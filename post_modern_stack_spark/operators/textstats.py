@@ -646,6 +646,26 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
       r_alpha         >= 80% of words contain an alphabetic char
       r_stopwords     >= 2 distinct common stopwords present
     """
+    m = _gopher_metrics(text_col)
+    return df.select(
+        "doc_id",
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        m["r_word_count"].cast("int").alias("r_word_count"),
+        m["r_mean_word_len"].cast("int").alias("r_mean_word_len"),
+        m["r_symbol"].cast("int").alias("r_symbol"),
+        m["r_bullet"].cast("int").alias("r_bullet"),
+        m["r_ellipsis"].cast("int").alias("r_ellipsis"),
+        m["r_alpha"].cast("int").alias("r_alpha"),
+        m["r_stopwords"].cast("int").alias("r_stopwords"),
+        m["keep"].cast("int").alias("keep"),
+    )
+
+
+def _gopher_metrics(text_col: str) -> dict:
+    """The rule battery as raw Column expressions, so both the batch
+    diagnosis table (``gopher_rules``) and the streaming gate
+    (``gopher_keep_expr``) compile the SAME row-local logic."""
     text = F.col(text_col)
     lines = F.split(text, r"\n")
     n_words = F.size(F.split(text, r"\s+"))
@@ -682,28 +702,32 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     r_ellipsis = (n_ellipsis_lines / n_lines) < 0.3
     r_alpha = (n_alpha_words / n_words) >= 0.8
     r_stopwords = n_stop >= 2
-    keep = (
-        r_word_count
-        & r_mean_word_len
-        & r_symbol
-        & r_bullet
-        & r_ellipsis
-        & r_alpha
-        & r_stopwords
-    )
-    return df.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        r_word_count.cast("int").alias("r_word_count"),
-        r_mean_word_len.cast("int").alias("r_mean_word_len"),
-        r_symbol.cast("int").alias("r_symbol"),
-        r_bullet.cast("int").alias("r_bullet"),
-        r_ellipsis.cast("int").alias("r_ellipsis"),
-        r_alpha.cast("int").alias("r_alpha"),
-        r_stopwords.cast("int").alias("r_stopwords"),
-        keep.cast("int").alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "r_word_count": r_word_count,
+        "r_mean_word_len": r_mean_word_len,
+        "r_symbol": r_symbol,
+        "r_bullet": r_bullet,
+        "r_ellipsis": r_ellipsis,
+        "r_alpha": r_alpha,
+        "r_stopwords": r_stopwords,
+        "keep": (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol
+            & r_bullet
+            & r_ellipsis
+            & r_alpha
+            & r_stopwords
+        ),
+    }
+
+
+def gopher_keep_expr(text_col: str = "text") -> F.Column:
+    """The conjunctive Gopher keep flag as a single Column — the
+    streaming-gate form (streaming/curation_stream.quality_gate)."""
+    return _gopher_metrics(text_col)["keep"].cast("int")
 
 
 def dsir_weights(

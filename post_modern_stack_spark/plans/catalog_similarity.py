@@ -382,3 +382,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5
     )
+
+
+@query("kmeans_assign")  # rows-only: float-iterative centroid training
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] distributed Lloyd k-means assignments (k=8, 5 iterations)
+    over the embeddings table — the trained-cluster step SemDeDup/IVF
+    build on (similarity.kmeans_lloyd). Corpus stays distributed;
+    only k×dim centroid partials cross the wire per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    assignments, _ = similarity.kmeans_lloyd(emb, k=8, n_iter=5)
+    return assignments.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )

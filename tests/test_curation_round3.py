@@ -196,3 +196,89 @@ def test_dsir_plan_single_token_pass(spark):
     # the checkpoint boundary hides the explode; no Generate may leak
     # into the consumer plan (it would mean a re-derivation)
     assert "Generate" not in plan
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    import numpy as np
+    from post_modern_stack_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for b, center in enumerate([(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)]):
+        for i in range(30):
+            v = [center[0] + rng.uniform(-1, 1), center[1] + rng.uniform(-1, 1)]
+            rows.append((b * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, cents = kmeans_lloyd(df, k=3, n_iter=8)
+    got = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    # each planted blob maps to exactly one cluster, and the three differ
+    labels = [{got[b * 100 + i] for i in range(30)} for b in range(3)]
+    assert all(len(s) == 1 for s in labels)
+    assert len(labels[0] | labels[1] | labels[2]) == 3
+    # centroids sit on the blob centers
+    cent_set = {tuple(np.round(c)) for c in cents}
+    assert cent_set == {(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)}
+
+
+def test_rowwise_scorer_matches_sparse_scorer(spark):
+    import numpy as np
+    from post_modern_stack_spark.operators import inference
+    from post_modern_stack_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rng = np.random.RandomState(3)
+    w, b = rng.randn(256) * 0.1, 0.2
+    sparse = {
+        r["doc_id"]: r["p"]
+        for r in inference.score_logreg(
+            inference.hashed_text_features(docs), w, b
+        ).collect()
+    }
+    rowwise = {
+        r["doc_id"]: r["p"]
+        for r in inference.score_logreg_rowwise(docs, w, b).collect()
+    }
+    assert set(sparse) == set(rowwise)
+    assert all(abs(sparse[k] - rowwise[k]) < 1e-9 for k in sparse)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    import numpy as np
+    from post_modern_stack_spark.registry import load_table
+    from post_modern_stack_spark.streaming import curation_stream as C
+
+    # synthetic corpus WITH stopwords (the sf testdata vocab has none,
+    # so every doc would fail r_stopwords and the gate would be vacuous)
+    rows = [
+        (
+            i,
+            f"the quick item {i} of batch and value {i % 7} runs fine",
+            "en",
+            "srcA" if i % 2 else "srcB",
+            40,
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs_in")
+    docs.repartition(3).write.mode("overwrite").parquet(path)
+
+    rng = np.random.RandomState(5)
+    w, b = rng.randn(256) * 0.5, 0.0
+    batch = C.quality_gate(docs, w, b, min_p=0.4)
+    stream = C.quality_gate(C.stream_documents(spark, path), w, b, min_p=0.4)
+    assert stream.isStreaming
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["p"]) for r in spark.table("qgate").collect()}
+    want = {(r["doc_id"], r["p"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
