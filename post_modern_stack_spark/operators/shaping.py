@@ -225,7 +225,16 @@ def weighted_sample_per_group(
     the property that makes A-ES the standard cluster-side sampler.
 
     ln(u)/w preserves the u^(1/w) order (ln is monotone, w > 0) while
-    staying in well-conditioned float range for tiny u."""
+    staying in well-conditioned float range for tiny u.
+
+    Cross-engine contract vs ``pps_systematic_sample``: PPS is the
+    bit-exact path (pure integer arithmetic — no transcendentals at
+    all). A-ES keys take one ``ln`` of an exactly-representable
+    dyadic rational; engines may disagree in the last ULP, which
+    flips a rank only if two keys collide within ~1e-16 relative —
+    ruled out in practice by 52-bit-distinct u draws (and unlike
+    windowed float SUMS, nothing accumulates). Both are registered;
+    pick PPS when bit-for-bit replay is a hard requirement."""
     from pyspark.sql import Window
 
     # 13 hex chars = 52 bits → u uniform in (0, 1], never 0
