@@ -134,3 +134,91 @@ def decode(
         F.col("token_id").alias(id_col), F.col("token").alias(out_col)
     )
     return df.join(F.broadcast(inv), id_col, "left")
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+):
+    """[EXT] distributed BPE merge training (Sennrich'16): learn the
+    merge table a subword tokenizer is built from.
+
+    The classic algorithm trains on the WORD-FREQUENCY table, not the
+    corpus — so the distributed state is (word, count, symbols[]), one
+    row per distinct word (the explode+agg happens once; at 100 TB the
+    word table is millions of rows, not trillions). Each merge
+    iteration is: explode adjacent symbol pairs weighted by word count
+    → one hash agg → collect the single best pair (deterministic
+    (count, pair) tie-break) → rewrite symbol arrays with a greedy
+    left-to-right fold. Iteration cost is one shuffle over the word
+    table regardless of corpus size; only the 1-row winner crosses to
+    the driver (the logreg/Lloyd iterative pattern).
+
+    Returns (merges, vocab_df): merges = [(rank, left, right, count)],
+    vocab_df = (word, count, symbols) after all merges.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", "cnt", F.split("w", "").alias("syms"))
+        # the word table is vocabulary-sized (tiny next to the corpus);
+        # collapse to a few partitions so the 8 iteration jobs pay task
+        # overhead on 4 tasks, not the corpus partitioning
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    merges = []
+    state = words
+    for rank in range(n_merges):
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best_rows = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .agg(
+                F.max_by(
+                    F.struct(F.col("p.l"), F.col("p.r"), F.col("n")),
+                    F.struct(F.col("n"), F.col("p.l"), F.col("p.r")),
+                ).alias("best")
+            )
+            .collect()
+        )
+        if not best_rows or best_rows[0]["best"] is None:
+            break
+        left, right, n = (
+            best_rows[0]["best"]["l"],
+            best_rows[0]["best"]["r"],
+            best_rows[0]["best"]["n"],
+        )
+        merges.append((rank, left, right, int(n)))
+        la, lb = F.lit(left), F.lit(right)
+        # greedy left-to-right merge: fold symbols, replacing each
+        # (left, right) adjacency with the joined symbol; a just-merged
+        # symbol is NOT re-merged with the next one (acc tail check
+        # sees the merged token, matching the reference algorithm)
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = state.select("w", "cnt", merged.alias("syms")).localCheckpoint()
+    return merges, state

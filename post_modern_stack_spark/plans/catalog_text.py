@@ -1787,3 +1787,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
     )
     return weighted_sample_per_group(docs, k=5, weight_col="n_tokens")
+
+
+@query("bpe_train_merges")  # rows-only: iterative merge-table learning
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] distributed BPE merge-table training (vocab.bpe_train, 8
+    merges over the word-frequency table). Deterministic integer
+    arithmetic with a (count, pair) tie-break — exact-parity-tested
+    against a reference Python BPE; listed rows-only because replaying
+    8 iterations of array rewriting in SQL is not practical."""
+    from post_modern_stack_spark.operators.vocab import bpe_train
+
+    merges, _ = bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=8
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

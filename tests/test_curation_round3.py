@@ -282,3 +282,90 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     got = {(r["doc_id"], r["p"]) for r in spark.table("qgate").collect()}
     want = {(r["doc_id"], r["p"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dbt_snapshot_scd2_lifecycle(spark, tmp_path):
+    from post_modern_stack_spark.sources.snapshot import DbtSnapshot
+
+    path = str(tmp_path / "snap")
+    snap = DbtSnapshot(spark, path, unique_key="id", check_cols=["city", "tier"])
+
+    v1 = spark.createDataFrame(
+        [(1, "paris", "gold"), (2, "rome", "silver"), (3, "oslo", "bronze")],
+        "id long, city string, tier string",
+    )
+    stats = snap.apply(v1, at_ts=1000)
+    assert stats == {"inserted": 3, "closed": 0, "unchanged": 0}
+
+    # id 1 changes city, id 2 unchanged, id 3 deleted, id 4 appears
+    v2 = spark.createDataFrame(
+        [(1, "lyon", "gold"), (2, "rome", "silver"), (4, "bern", "gold")],
+        "id long, city string, tier string",
+    )
+    stats = snap.apply(v2, at_ts=2000)
+    assert stats == {"inserted": 2, "closed": 2, "unchanged": 1}
+
+    rows = {
+        (r["id"], r["valid_from"]): r for r in snap.read().collect()
+    }
+    assert len(rows) == 5
+    # id 1: closed old version + new current
+    assert rows[(1, 1000)]["valid_to"] == 2000 and rows[(1, 1000)]["city"] == "paris"
+    assert rows[(1, 2000)]["valid_to"] is None and rows[(1, 2000)]["city"] == "lyon"
+    # id 2 untouched current
+    assert rows[(2, 1000)]["valid_to"] is None
+    # id 3 hard-deleted -> closed, no current row
+    assert rows[(3, 1000)]["valid_to"] == 2000
+    # id 4 new current
+    assert rows[(4, 2000)]["valid_to"] is None
+
+    # idempotent re-apply of the same source: nothing changes
+    stats = snap.apply(v2, at_ts=3000)
+    assert stats["inserted"] == 0 and stats["closed"] == 0
+    # per-key at most one current row
+    cur = snap.current().groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Pure-Python Sennrich-style BPE for parity checking."""
+    state = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        # deterministic (count, pair) tie-break, matching the operator
+        (a, b), n = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_train_matches_reference(spark):
+    from post_modern_stack_spark.operators.vocab import bpe_train
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_merges, got_vocab = bpe_train(df, n_merges=6)
+
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want_merges, want_state = _reference_bpe(counts, 6)
+    assert got_merges == want_merges
+    got_syms = {r["w"]: list(r["syms"]) for r in got_vocab.collect()}
+    assert got_syms == want_state
