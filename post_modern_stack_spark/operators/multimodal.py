@@ -1026,3 +1026,160 @@ def spectrogram_frames(
             )
 
     return media.select("media_id", "content").mapInPandas(run, SPECTROGRAM_SCHEMA)
+
+
+# --- MP3 / MP4 container parsing (real, stdlib-only) -----------------------
+# Sample DECODE for these formats needs entropy coders beyond stdlib
+# (MP3 Huffman + IMDCT, MP4/AAC); container/frame-header parsing does
+# not — bitrate/duration/track inventory is pure bit arithmetic, which
+# is what a media INVENTORY pass at 100 TB actually reads (decode
+# happens downstream on the GPU fleet).
+
+_MP3_BITRATES_V1L3 = [  # kbps, MPEG-1 Layer III, index 1..14
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0
+]
+_MP3_RATES_V1 = [44100, 48000, 32000, 0]
+
+
+def parse_mp3_info(content: bytes) -> dict:
+    """Walk MPEG-1 Layer III frames: sync on 0xFFE, read the bitrate/
+    samplerate/padding fields, hop frame lengths (144·bitrate/rate +
+    padding), accumulating duration at 1152 samples/frame. An ID3v2
+    prefix is skipped via its synchsafe size. Returns zeroed fields if
+    no valid frame is found (not an MP3)."""
+    data = content or b""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    n_frames = 0
+    total_ms = 0.0
+    bitrate_sum = 0
+    while pos + 4 <= len(data):
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x3  # 3 = MPEG-1
+            layer = (b1 >> 1) & 0x3  # 1 = Layer III
+            br_ix = (b2 >> 4) & 0xF
+            sr_ix = (b2 >> 2) & 0x3
+            padding = (b2 >> 1) & 0x1
+            if version == 3 and layer == 1 and 0 < br_ix < 15 and sr_ix < 3:
+                bitrate = _MP3_BITRATES_V1L3[br_ix] * 1000
+                rate = _MP3_RATES_V1[sr_ix]
+                frame_len = 144 * bitrate // rate + padding
+                if frame_len <= 0:
+                    break
+                n_frames += 1
+                total_ms += 1152.0 * 1000.0 / rate
+                bitrate_sum += bitrate
+                pos += frame_len
+                continue
+        if n_frames:  # trailing garbage after valid frames: stop
+            break
+        pos += 1  # resync scan before the first frame
+    return {
+        "container": "mp3" if n_frames else None,
+        "duration_ms": int(round(total_ms)),
+        "n_units": n_frames,
+        "bitrate_kbps": (bitrate_sum // n_frames // 1000) if n_frames else 0,
+    }
+
+
+def parse_mp4_info(content: bytes) -> dict:
+    """Walk the ISO BMFF box tree: top-level sizes/types (64-bit
+    largesize handled), recurse into ``moov`` for ``mvhd`` (version
+    0/1 timescale + duration) and count ``trak`` boxes."""
+    import struct
+
+    data = content or b""
+
+    def walk(lo: int, hi: int):
+        out = []
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            typ = data[pos + 4 : pos + 8]
+            head = 8
+            if size == 1 and pos + 16 <= hi:
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                head = 16
+            if size < head or pos + size > hi:
+                break
+            out.append((typ, pos + head, pos + size))
+            pos += size
+        return out
+
+    top = walk(0, len(data))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        return {"container": None, "duration_ms": 0, "n_units": 0, "bitrate_kbps": 0}
+    duration_ms, n_trak = 0, 0
+    for typ, lo, hi in top:
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 == b"trak":
+                n_trak += 1
+            elif t2 == b"mvhd" and hi2 - lo2 >= 20:
+                ver = data[lo2]
+                if ver == 1:
+                    ts = struct.unpack(">I", data[lo2 + 20 : lo2 + 24])[0]
+                    dur = struct.unpack(">Q", data[lo2 + 24 : lo2 + 32])[0]
+                else:
+                    ts = struct.unpack(">I", data[lo2 + 12 : lo2 + 16])[0]
+                    dur = struct.unpack(">I", data[lo2 + 16 : lo2 + 20])[0]
+                if ts:
+                    duration_ms = int(dur * 1000 // ts)
+    return {
+        "container": "mp4",
+        "duration_ms": duration_ms,
+        "n_units": n_trak,
+        "bitrate_kbps": (
+            int(len(data) * 8 // duration_ms) if duration_ms else 0
+        ),
+    }
+
+
+CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_units", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.LongType(), True),
+    ]
+)
+
+
+def container_info(media: DataFrame) -> DataFrame:
+    """Media-inventory metadata pass: container kind, duration, frame/
+    track counts, bitrate — parsed from headers only (constant work
+    per file regardless of media size), via the same mapInPandas
+    iterator shape as ``extract_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, c in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                c = c or b""
+                info = parse_mp3_info(c)
+                if not info["container"]:
+                    info = parse_mp4_info(c)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "container": info["container"],
+                        "duration_ms": info["duration_ms"],
+                        "n_units": info["n_units"],
+                        "bitrate_kbps": info["bitrate_kbps"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, CONTAINER_SCHEMA)

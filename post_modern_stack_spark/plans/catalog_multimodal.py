@@ -430,3 +430,50 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").alias("n_bytes"),
         F.sha2("content", 256).alias("thumb_sha"),
     )
+
+
+@query("media_container_info")  # rows-only: binary container assembly
+def q_media_container_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 container-inventory pass: REAL MP3 frame-walk and MP4 box-walk
+    parsing (multimodal.parse_mp3_info/parse_mp4_info — header
+    arithmetic only, constant work per file) over synthesized
+    spec-conformant containers. Sample DECODE for these formats stays
+    honestly stubbed (entropy coders beyond stdlib); the inventory
+    fields every media pipeline reads first — duration, frame/track
+    counts, bitrate — are parsed for real."""
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(144 * 128000 // 44100 - 4)
+
+        def box(typ: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                if did % 10 == 9:
+                    content, kind = b"junkbytes" + bytes(int(did) % 7), "corrupt"
+                elif did % 2 == 0:
+                    content, kind = frame * (1 + int(did) % 20), "audio"
+                else:
+                    mvhd = (
+                        bytes(12)
+                        + struct.pack(">I", 1000)
+                        + struct.pack(">I", 1000 * (1 + int(did) % 30))
+                        + bytes(80)
+                    )
+                    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", b"") * 2)
+                    content, kind = box(b"ftyp", b"isom" + bytes(8)) + moov, "video"
+                rows.append({"media_id": int(did), "kind": kind, "content": content})
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, content binary"
+    )
+    return multimodal.container_info(media)

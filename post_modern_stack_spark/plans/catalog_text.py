@@ -1804,3 +1804,245 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "temperature_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT sum(n_s) AS n, sum(pow(n_s::DOUBLE / (SELECT sum(n_s) FROM s),
+                                    0.5)) AS z
+      FROM s
+    ),
+    rates AS (
+      SELECT source, n_s,
+             least(1.0, (0.4 * n) * (pow(n_s::DOUBLE / n, 0.5) / z) / n_s)
+               AS rate
+      FROM s, t
+    ),
+    d AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1.0)
+               / 4503599627370496.0 AS u
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+    FROM d JOIN rates r USING (source)
+    WHERE d.u < r.rate
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] temperature-scaled mixture sampling (T=2): per-source
+    acceptance rates ∝ share^(1/T) renormalized to a 40% corpus
+    budget, docs accepted by the portable md5 uniform draw — the
+    materialization step after ``mixing_weights`` decides the target
+    mix. Source-grain tables are tiny broadcasts; the corpus pass is
+    one filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # two-step: total first, then z over shares of that total
+    tot = s.agg(F.sum("n_s").alias("n"))
+    z = (
+        s.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("n_s") / F.col("n"), F.lit(0.5))).alias("z"))
+    )
+    rates = (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (0.4 * F.col("n"))
+                * (F.pow(F.col("n_s") / F.col("n"), F.lit(0.5)) / F.col("z"))
+                / F.col("n_s"),
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 52)
+    return (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
+
+
+@query(
+    "rrf_hybrid_rank",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'window', 'join')
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT t.doc_id,
+               round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 6)
+                   AS bm25
+        FROM tf t JOIN dfreq d USING (term), stats s
+        GROUP BY t.doc_id
+    ),
+    bm_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+        FROM bm
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                             i -> e.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                     6) AS c
+        FROM e, q WHERE e.vec_id <> 0
+    ),
+    cos_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY c DESC, doc_id) AS r_cos
+        FROM cos
+    ),
+    fused AS (
+        SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+               b.r_bm, c.r_cos,
+               round(coalesce(1.0 / (60 + b.r_bm), 0.0)
+                     + coalesce(1.0 / (60 + c.r_cos), 0.0), 6) AS rrf
+        FROM bm_rank b FULL OUTER JOIN cos_rank c USING (doc_id)
+    )
+    SELECT doc_id, r_bm, r_cos, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hybrid retrieval fusion: BM25 lexical ranking (fixed query
+    {spark, window, join}) + cosine ANN ranking (query = vec 0's
+    embedding) fused by reciprocal-rank fusion 1/(60+r). Ranks are
+    integers from rounded-score orderings with id tie-breaks, so the
+    fused list is engine-deterministic end-to-end. Both rankings are
+    window passes over score tables; the fusion is one full-outer join
+    at doc grain."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "join"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split("text", r"\s+")).alias("term"),
+        F.size(F.split("text", r"\s+")).alias("dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.any_value("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", r"\s+"))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    bm_rank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_bm"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = emb.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    cos = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "qv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            "v", F.lit(0.0), lambda acc, x: acc + x * x
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            "qv", F.lit(0.0), lambda acc, x: acc + x * x
+                        )
+                    )
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    cos_rank = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("doc_id")))
+        .alias("r_cos"),
+    )
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm",
+            "r_cos",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

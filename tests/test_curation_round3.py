@@ -369,3 +369,64 @@ def test_bpe_train_matches_reference(spark):
     assert got_merges == want_merges
     got_syms = {r["w"]: list(r["syms"]) for r in got_vocab.collect()}
     assert got_syms == want_state
+
+
+def _synth_mp3(n_frames=5, pad_id3=False):
+    """Spec-conformant MPEG-1 Layer III 128 kbps 44.1 kHz frames."""
+    frame_len = 144 * 128000 // 44100  # 417, padding bit 0
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(frame_len - 4)
+    body = frame * n_frames
+    if pad_id3:
+        tag = b"junkdata12"  # 10 bytes of tag payload
+        hdr = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, len(tag)])
+        return hdr + tag + body
+    return body
+
+
+def _synth_mp4(timescale=1000, duration=5000, n_trak=2):
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = bytes([0, 0, 0, 0]) + bytes(8) + struct.pack(">I", timescale) + struct.pack(">I", duration) + bytes(80)
+    moov = box(b"moov", box(b"mvhd", mvhd) + b"".join(box(b"trak", b"") for _ in range(n_trak)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp3_frame_walk_and_id3_skip():
+    from post_modern_stack_spark.operators.multimodal import parse_mp3_info
+
+    info = parse_mp3_info(_synth_mp3(5))
+    assert info["container"] == "mp3" and info["n_units"] == 5
+    assert info["bitrate_kbps"] == 128
+    assert abs(info["duration_ms"] - 5 * 1152 * 1000 / 44100) <= 1
+    # ID3v2 prefix skipped via synchsafe size
+    info2 = parse_mp3_info(_synth_mp3(5, pad_id3=True))
+    assert info2["n_units"] == 5
+    # non-MP3 bytes -> no container
+    assert parse_mp3_info(b"\x00" * 100)["container"] is None
+
+
+def test_mp4_box_walk():
+    from post_modern_stack_spark.operators.multimodal import parse_mp4_info
+
+    info = parse_mp4_info(_synth_mp4(timescale=600, duration=1800, n_trak=3))
+    assert info["container"] == "mp4"
+    assert info["duration_ms"] == 3000 and info["n_units"] == 3
+    assert parse_mp4_info(b"notamovie")["container"] is None
+
+
+def test_container_info_distributed(spark):
+    from post_modern_stack_spark.operators.multimodal import container_info
+
+    rows = [
+        (1, "audio", bytearray(_synth_mp3(10))),
+        (2, "video", bytearray(_synth_mp4())),
+        (3, "audio", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in container_info(df).collect()}
+    assert got[1]["container"] == "mp3" and got[1]["n_units"] == 10
+    assert got[2]["container"] == "mp4" and got[2]["duration_ms"] == 5000
+    assert got[3]["container"] is None
