@@ -1984,3 +1984,91 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("post"), 2).alias("var_post"),
         F.round(F.var_pop("adjusted"), 2).alias("var_adjusted"),
     )
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+    FROM m
+    """,
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: the reporting staple — month-grain agg
+    (tiny), then lag over the month series. The ordered window runs on
+    the AGGREGATED series (dozens of rows), never the fact table; the
+    fact pass is one hash agg."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+      SELECT event_type, any_value(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 4) AS med,
+           round(any_value(m.mad), 4) AS mad,
+           count(*)::BIGINT AS n,
+           sum((d.adev > 3 * 1.4826 * m.mad)::INT)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median/MAD with the
+    1.4826 normal-consistency factor — the robust alternative to the
+    z-score family (rolling_zscore), immune to the outliers it hunts.
+    Two median aggs at type grain (exact medians — Spark 4 `median`);
+    the per-row pass joins the tiny type-grain tables broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med2"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+    )

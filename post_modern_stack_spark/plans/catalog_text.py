@@ -2046,3 +2046,126 @@ def q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "training_manifest",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 5 AND 100000
+        AND (len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / len(string_split(text, ' '))) >= 0.8
+        AND (list_sum(list_transform(string_split(text, ' '),
+                                     x -> len(x)))::DOUBLE
+             / len(string_split(text, ' '))) BETWEEN 2 AND 12
+    ),
+    ded AS (
+      SELECT * FROM (
+        SELECT g.*, row_number() OVER (PARTITION BY sha256(text)
+                                       ORDER BY doc_id) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM b WHERE is_t GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS n_raw,
+                   (SELECT sum(c_tgt) FROM tgt) AS n_tgt),
+    dist AS (
+      SELECT raw.bucket,
+             ln((coalesce(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 1024))
+             - ln((c_raw + 1)::DOUBLE / (n_raw + 1024)) AS log_ratio
+      FROM raw LEFT JOIN tgt USING (bucket), tot
+    ),
+    dsir AS (
+      SELECT doc_id, round(sum(log_ratio), 4) AS lw
+      FROM b JOIN dist USING (bucket) GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM ded d JOIN dsir USING (doc_id)
+      WHERE dsir.lw >= -1.0
+    ),
+    keyed AS (
+      SELECT *,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1.0)
+                / 4503599627370496.0) / n_tokens AS sk
+      FROM surv
+    ),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY sk DESC, doc_id) AS srn
+        FROM keyed
+      ) WHERE srn <= 10
+    ),
+    sq AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS prn
+      FROM sampled
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, prn, 0::BIGINT AS bin_id,
+             n_tokens AS fill
+      FROM sq WHERE prn = 1
+      UNION ALL
+      SELECT s.source, s.doc_id, s.n_tokens, s.prn,
+             CASE WHEN p.fill + s.n_tokens <= 256
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + s.n_tokens <= 256
+                  THEN p.fill + s.n_tokens ELSE s.n_tokens END
+      FROM packed p JOIN sq s
+        ON s.source = p.source AND s.prn = p.prn + 1
+    )
+    SELECT source, bin_id, doc_id, n_tokens::BIGINT AS n_tokens FROM packed
+    """,
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] END-TO-END training-data manifest, every stage this
+    round's ops and every stage oracle-replayed: Gopher sub-rules
+    (word-count, alpha-share, mean-word-length — the stopword rule is
+    vacuous on the synthetic vocab) → exact dedup keep-min → DSIR
+    importance gate (lw ≥ −1 vs target src0) → A-ES weighted sample
+    (10 docs/source ∝ length) → greedy 256-token packing. The final
+    manifest (source, bin, doc, tokens) is what a trainer's data
+    loader consumes; the whole pipeline is deterministic, portable-
+    hash-seeded, and hash-checked cross-engine."""
+    from post_modern_stack_spark.operators.shaping import (
+        pack_greedy,
+        weighted_sample_per_group,
+    )
+    from post_modern_stack_spark.operators.textstats import _gopher_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = _gopher_metrics("text")
+    filtered = docs.filter(
+        m["r_word_count"] & m["r_alpha"] & m["r_mean_word_len"]
+    )
+    deduped = textstats.exact_keep_min(filtered)
+    lw = textstats.dsir_weights(
+        docs, target_filter=F.col("source") == "src0"
+    ).select("doc_id", "dsir_logratio")
+    surv = (
+        deduped.join(lw, "doc_id")
+        .filter(F.col("dsir_logratio") >= -1.0)
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        )
+    )
+    sampled = weighted_sample_per_group(
+        surv, k=10, weight_col="n_tokens"
+    ).select("source", "doc_id", "n_tokens")
+    return pack_greedy(sampled, budget=256).select(
+        "source", "bin_id", "doc_id", "n_tokens"
+    )

@@ -430,3 +430,44 @@ def test_container_info_distributed(spark):
     assert got[1]["container"] == "mp3" and got[1]["n_units"] == 10
     assert got[2]["container"] == "mp4" and got[2]["duration_ms"] == 5000
     assert got[3]["container"] is None
+
+
+def test_pack_greedy_invariants_property(spark):
+    """Property: never exceed budget (except single oversized docs),
+    preserve id order within bins, match the sequential reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from post_modern_stack_spark.operators.shaping import pack_greedy
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=30),
+        budget=st.integers(min_value=50, max_value=300),
+    )
+    def run(sizes, budget):
+        rows = [("g", i, s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+        got = sorted(
+            ((r["doc_id"], r["bin_id"]) for r in pack_greedy(df, budget=budget).collect())
+        )
+        # sequential reference
+        want, fill, cur = [], 0, 0
+        for i, s in enumerate(sizes):
+            if fill > 0 and fill + s > budget:
+                cur, fill = cur + 1, 0
+            want.append((i, cur))
+            fill += s
+        assert got == want
+        # bin totals within budget unless the bin is a single oversized doc
+        totals = {}
+        for (i, b) in got:
+            totals.setdefault(b, []).append(sizes[i])
+        for b, ss in totals.items():
+            assert sum(ss) <= budget or len(ss) == 1
+
+    run()
