@@ -707,3 +707,93 @@ def keep_best_per_cluster(
         F.col(score_col),
         (F.col(id_col) == F.col("best_id")).cast("int").alias("kept"),
     )
+
+
+def minhash_lsh_candidates_cross(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """K2 INCREMENTAL candidate generation: near-dup candidates of the
+    NEW batch against the EXISTING corpus — the nightly-ingest dedup
+    shape. Cost is proportional to the new batch's bucket collisions,
+    never corpus × corpus: both sides band identically (same hash
+    family, so a signature computed at ingest time can be stored and
+    reused), then an equi-join on (band, band_hash) keyed new-side.
+    Returns (id_new, id_corpus, band_hits).
+
+    At 100 TB the corpus-side banded table is the thing you PERSIST
+    (store signatures at ingest; the nightly join reads them instead
+    of re-shingling history) — this function recomputes it only
+    because the catalog has no signature store wired in.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, hash_mode
+        )
+        return sig.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        (
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                            if hash_mode == "md5"
+                            else F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.slice(
+                                            F.col("sig"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        lambda v: v.cast("string"),
+                                    ),
+                                )
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bh"),
+        ).select(id_col, "bh.band", "bh.band_hash")
+
+    n = banded(new).alias("n")
+    c = banded(corpus).alias("c")
+    return (
+        n.join(
+            c,
+            on=[
+                F.col("n.band") == F.col("c.band"),
+                F.col("n.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .groupBy(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"c.{id_col}").alias("id_corpus"),
+        )
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+    )

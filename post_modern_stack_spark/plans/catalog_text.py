@@ -2169,3 +2169,58 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(sampled, budget=256).select(
         "source", "bin_id", "doc_id", "n_tokens"
     )
+
+
+@query(
+    "incremental_dedup_candidates",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+        WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    x AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+        FROM sh
+    ),
+    mins AS (
+        SELECT doc_id, r.s,
+               min(((1103515245 * (r.s + 1)) % 1000000007 * x
+                    + (12345 * (r.s + 1) + 67890) % 1000000007)
+                   % 1000000007) AS h
+        FROM x, range(16) r(s)
+        GROUP BY doc_id, r.s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS band_key
+        FROM mins GROUP BY doc_id, s // 4
+    )
+    SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+           count(*)::BIGINT AS band_hits
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.band_key = c.band_key
+    WHERE n.doc_id >= 150 AND c.doc_id < 150
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] incremental-ingest dedup: the NEW batch (doc_id ∈
+    [150, 200)) LSH-banded against the EXISTING corpus (doc_id < 150)
+    — cost follows the new batch's bucket collisions, never
+    corpus², and the corpus-side banded signatures are exactly what a
+    production table persists at ingest
+    (dedup.minhash_lsh_candidates_cross, portable md5 family so the
+    oracle replays the banding)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    new = d.filter(F.col("doc_id") >= 150)
+    corpus = d.filter(F.col("doc_id") < 150)
+    return dedup.minhash_lsh_candidates_cross(
+        new, corpus, num_hashes=16, bands=4, hash_mode="md5"
+    ).select("id_new", "id_corpus", F.col("band_hits").cast("long").alias("band_hits"))

@@ -138,3 +138,51 @@ def dedup_then_windowed_counts(
     # the dedup stage already declared the event-time watermark; the
     # window stage inherits it (re-declaring raises in Spark 4)
     return windowed_event_counts(deduped, window=window, watermark=None)
+
+
+def dedup_against_corpus(
+    docs: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: drop arriving docs whose content
+    digest already exists in the historical corpus ledger, then drop
+    in-flight duplicates among the arrivals themselves.
+
+    ``corpus_digests`` is a STATIC frame of sha2-256 digests (the
+    ledger a batch dedup pass maintains; 32 bytes/doc, so even a
+    10 B-doc history is a few hundred GB of broadcastable/bucketable
+    state — join it, never re-scan raw history). The stream side is a
+    stream-static LEFT ANTI join (stateless per micro-batch) followed
+    by ``dropDuplicatesWithinWatermark`` on the digest for the
+    within-batch horizon. Same call works on a batch frame for the
+    backfill path (parity-tested).
+    """
+    digest = F.sha2(F.col(text_col), 256)
+    tagged = docs.withColumn("__sha", digest)
+    ledger = corpus_digests.select(F.col("sha").alias("__sha")).distinct()
+    fresh = tagged.join(ledger, "__sha", "left_anti")
+    if docs.isStreaming:
+        if watermark_col:
+            fresh = fresh.withWatermark(watermark_col, watermark)
+        else:
+            # doc feeds often carry no event time; a processing-time
+            # watermark (micro-batch timestamp) still bounds the dedup
+            # state to the horizon — the standard ingest-dedup posture
+            fresh = fresh.withColumn(
+                "__ingest_ts", F.current_timestamp()
+            ).withWatermark("__ingest_ts", watermark)
+        return (
+            fresh.dropDuplicatesWithinWatermark(["__sha"])
+            .drop("__sha", "__ingest_ts")
+        )
+    w = Window.partitionBy("__sha").orderBy(
+        *[c for c in docs.columns if c != text_col] or [text_col]
+    )
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sha")
+    )

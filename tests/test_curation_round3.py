@@ -471,3 +471,40 @@ def test_pack_greedy_invariants_property(spark):
             assert sum(ss) <= budget or len(ss) == 1
 
     run()
+
+
+def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
+    from post_modern_stack_spark.streaming import curation_stream as C
+    from post_modern_stack_spark.streaming.dedup_stream import dedup_against_corpus
+
+    # history: docs 0/1 already ingested; arrivals repeat doc 1's text,
+    # include an in-batch duplicate pair, and two fresh docs
+    history = spark.createDataFrame(
+        [("old text one",), ("old text two",)], "text string"
+    )
+    ledger = history.select(F.sha2("text", 256).alias("sha"))
+    arrivals = [
+        (10, "old text two", "en", "s", 1),   # already in corpus -> dropped
+        (11, "fresh text a", "en", "s", 1),
+        (12, "fresh text a", "en", "s", 1),   # in-batch dup -> one survives
+        (13, "fresh text b", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(arrivals, C.DOC_SCHEMA)
+    path = str(tmp_path / "arrivals")
+    docs.repartition(2).write.mode("overwrite").parquet(path)
+
+    batch = dedup_against_corpus(docs, ledger)
+    got_batch = sorted(r["text"] for r in batch.collect())
+    assert got_batch == ["fresh text a", "fresh text b"]
+
+    stream = dedup_against_corpus(C.stream_documents(spark, path), ledger)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted(r["text"] for r in spark.table("corpus_dedup").collect())
+    assert got_stream == got_batch
