@@ -508,3 +508,34 @@ def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got_stream = sorted(r["text"] for r in spark.table("corpus_dedup").collect())
     assert got_stream == got_batch
+
+
+def test_weighted_sample_matches_reference_aes(spark):
+    """A-ES ranks must match a python replay of the same hash keys."""
+    import hashlib
+    import math
+
+    from post_modern_stack_spark.operators.shaping import weighted_sample_per_group
+
+    rows = [("g", i, (i % 7) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    got = {r["doc_id"]: r["rank_in_group"] for r in weighted_sample_per_group(df, k=50, weight_col="w").collect()}
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1.0) / (1 << 52)
+        return math.log(u) / w
+
+    want_order = sorted(rows, key=lambda r: (-key(r[1], r[2]), r[1]))
+    want = {r[1]: ix + 1 for ix, r in enumerate(want_order)}
+    assert got == want
+
+
+def test_kmeans_k_exceeds_n_is_safe(spark):
+    from post_modern_stack_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    assignments, cents = kmeans_lloyd(df, k=4, n_iter=2)
+    got = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    assert set(got) == {1, 2} and len(cents) == 4
