@@ -2072,3 +2072,70 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "benford_check",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM events
+      WHERE value IS NOT NULL AND value >= 1
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM obs),
+    exp_t AS (
+      SELECT r.d AS digit, ln(1.0 + 1.0 / r.d) / ln(10.0) AS p_benford
+      FROM range(1, 10) r(d)
+    )
+    SELECT e.digit,
+           coalesce(o.n, 0)::BIGINT AS n,
+           round(coalesce(o.n, 0)::DOUBLE / t.total, 6) AS p_obs,
+           round(e.p_benford, 6) AS p_benford,
+           round(t.total * e.p_benford, 4) AS n_expected,
+           round(pow(coalesce(o.n, 0) - t.total * e.p_benford, 2)
+                 / (t.total * e.p_benford), 4) AS chi2_term
+    FROM exp_t e LEFT JOIN obs o USING (digit), t
+    """,
+)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on event values: observed vs expected
+    leading-digit shares + per-digit chi-square terms — the classic
+    fraud/integrity screen for financial facts. One scan collapses to
+    a 9-row digit table; expectations are a generated literal frame
+    broadcast against it."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 1)
+    )
+    obs = (
+        ev.select(
+            F.substring(
+                F.floor("value").cast("long").cast("string"), 1, 1
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = obs.agg(F.sum("n").alias("total"))
+    exp_t = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        (F.log(1.0 + 1.0 / F.col("id")) / F.log(F.lit(10.0))).alias("p_benford"),
+    )
+    return (
+        exp_t.join(obs, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("p_obs"),
+            F.round("p_benford", 6).alias("p_benford"),
+            F.round(F.col("total") * F.col("p_benford"), 4).alias("n_expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * F.col("p_benford"), 2)
+                / (F.col("total") * F.col("p_benford")),
+                4,
+            ).alias("chi2_term"),
+        )
+    )

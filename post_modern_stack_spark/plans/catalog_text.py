@@ -2224,3 +2224,100 @@ def q_incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup.minhash_lsh_candidates_cross(
         new, corpus, num_hashes=16, bands=4, hash_mode="md5"
     ).select("id_new", "id_corpus", F.col("band_hits").cast("long").alias("band_hits"))
+
+
+@query(
+    "bigram_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             list_transform(range(0, len(w) - 1),
+                            i -> w[i + 1] || ' ' || w[i + 2]) AS bigs
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, unnest(bigs) AS big FROM bg
+    ),
+    dtf AS (
+      SELECT doc_id, big, count(*) AS tf FROM tf GROUP BY doc_id, big
+    ),
+    cab AS (SELECT big, sum(tf) AS c_ab FROM dtf GROUP BY big),
+    ca AS (
+      SELECT string_split(big, ' ')[1] AS a, sum(c_ab) AS c_a
+      FROM cab GROUP BY 1
+    ),
+    v AS (
+      SELECT count(DISTINCT tok) AS vsz
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    p AS (
+      SELECT cab.big,
+             ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.vsz)) AS lp
+      FROM cab JOIN ca ON string_split(cab.big, ' ')[1] = ca.a, v
+    )
+    SELECT d.doc_id,
+           sum(d.tf)::BIGINT AS n_bigrams,
+           round(sum(d.tf * p.lp) / sum(d.tf), 6) AS avg_logprob,
+           round(exp(-sum(d.tf * p.lp) / sum(d.tf)), 4) AS perplexity
+    FROM dtf d JOIN p USING (big)
+    GROUP BY d.doc_id
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bigram-LM perplexity scoring (the CCNet filter one order
+    up from `unigram_logprob`): train add-0.5-smoothed p(b|a) on the
+    corpus, score each doc's mean bigram log-prob + perplexity.
+    Bigram facts collapse to (doc, bigram, tf) before any join; the
+    conditional table c(a,·) derives from the BIGRAM counts (never a
+    second corpus pass) and broadcasts with the vocab size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    bigs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dtf = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigs).alias("big"))
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    cab = dtf.groupBy("big").agg(F.sum("tf").alias("c_ab"))
+    ca = (
+        cab.select(
+            F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("a"), "c_ab"
+        )
+        .groupBy("a")
+        .agg(F.sum("c_ab").alias("c_a"))
+    )
+    vsz = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    p = (
+        cab.withColumn("a", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "big",
+            F.log(
+                (F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    mean_lp = F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
+    return (
+        dtf.join(F.broadcast(p), "big")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(mean_lp, 6).alias("avg_logprob"),
+            F.round(F.exp(-mean_lp), 4).alias("perplexity"),
+        )
+    )

@@ -347,3 +347,39 @@ class VersionedKeyedTable:
                 except OSError:
                     pass
         return removed
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Version diff at key grain: (key, change in added|removed|changed,
+    old_hash, new_hash). Pairs with ``VersionedKeyedTable.read(v)`` to
+    audit what a merge did — the time-travel story's missing verb.
+
+    Row identity is an xxhash64 over the canonical string form of the
+    non-key columns (column order fixed by sorting names), so the diff
+    is one full-outer join on the key with 8-byte payloads — raw rows
+    never shuffle twice. Unchanged keys are dropped (the overwhelming
+    majority at scale), so the result is delta-sized.
+    """
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        cols = sorted(c for c in df.columns if c != key)
+        return df.select(
+            key,
+            F.xxhash64(
+                *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols]
+            ).alias(out),
+        )
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    return (
+        o.join(n, key, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(key, "change", "old_hash", "new_hash")
+    )

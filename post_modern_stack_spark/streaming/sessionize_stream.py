@@ -443,3 +443,26 @@ def stateful_funnel(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def trending_top_k(
+    windowed_counts: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k event types per time window — the 'trending now' serve
+    query. Rank-per-group is NOT expressible inside an append-mode
+    stream (a window's ranking is only final when the watermark closes
+    it), so the production shape is: stream ``windowed_event_counts``
+    into a sink, then rank the SINK table — the Kappa serving split.
+    This helper is that ranking; the parity test drives
+    stream-to-sink → rank and checks it equals ranking the batch
+    aggregate directly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        windowed_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", "event_type", "n_events")
+    )

@@ -539,3 +539,89 @@ def test_kmeans_k_exceeds_n_is_safe(spark):
     assignments, cents = kmeans_lloyd(df, k=4, n_iter=2)
     got = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
     assert set(got) == {1, 2} and len(cents) == 4
+
+
+def test_container_parsers_never_crash_on_fuzz():
+    """Parsers must treat arbitrary bytes as not-a-container, never
+    raise — they run inside executor tasks over untrusted corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from post_modern_stack_spark.operators.multimodal import (
+        parse_mp3_info,
+        parse_mp4_info,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(data):
+        for fn in (parse_mp3_info, parse_mp4_info):
+            info = fn(data)
+            assert set(info) == {"container", "duration_ms", "n_units", "bitrate_kbps"}
+            assert info["duration_ms"] >= 0 and info["n_units"] >= 0
+
+    run()
+    # adversarial prefixes: truncated sync/box headers
+    for junk in (b"\xff\xfb", b"ID3", b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f", b"\x00\x00\x00\x08ftyp", b"\x00\x00\x00\x01moov"):
+        parse_mp3_info(junk)
+        parse_mp4_info(junk)
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    from post_modern_stack_spark.sources.merge import VersionedKeyedTable, table_diff
+
+    path = str(tmp_path / "vkt")
+    t = VersionedKeyedTable(spark, path, n_buckets=4)
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    t.create(v0, key="id")
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, is_delete boolean",
+    )
+    t.merge(updates, delete_col="is_delete")
+
+    diff = {
+        r["id"]: r["change"]
+        for r in table_diff(t.read(0), t.read(), key="id").collect()
+    }
+    assert diff == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_trending_top_k_stream_sink_matches_batch(spark, tmp_path):
+    from post_modern_stack_spark.registry import load_table
+    from post_modern_stack_spark.streaming import sessionize_stream as S
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "ev_in")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    counts = S.windowed_event_counts(stream, window="6 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window_start"], r["rank"], r["event_type"])
+        for r in S.trending_top_k(spark.table("trend_sink"), k=3).collect()
+    )
+    batch_rows = S.trending_top_k(
+        S.windowed_event_counts(ev, window="6 hours"), k=3
+    ).collect()
+    # append mode emits a window only when the watermark CLOSES it; the
+    # stream's final window stays open, so parity is over closed windows
+    last_open = max(r["window_start"] for r in batch_rows)
+    want = sorted(
+        (r["window_start"], r["rank"], r["event_type"])
+        for r in batch_rows
+        if r["window_start"] != last_open
+    )
+    assert got == want and len(want) > 0
