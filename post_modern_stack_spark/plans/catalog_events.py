@@ -2139,3 +2139,53 @@ def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "dq_quarantine",
+    oracle="""
+    WITH checked AS (
+      SELECT event_id, event_type, value,
+             list_filter([
+               CASE WHEN NOT coalesce(value IS NOT NULL, FALSE)
+                    THEN 'value_not_null' END,
+               CASE WHEN NOT coalesce(value >= 0, FALSE)
+                    THEN 'value_non_negative' END,
+               CASE WHEN NOT coalesce(event_type IN
+                      ('view','click','purchase','signup'), FALSE)
+                    THEN 'known_event_type' END
+             ], x -> x IS NOT NULL) AS violations
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           array_to_string(violations, ',') AS violations
+    FROM checked WHERE len(violations) > 0
+    """,
+)
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract quarantine (expectations.validate_and_split):
+    rows violating any row-local rule, with the violated rule names —
+    the route-aside half of ingest validation. One shuffle-free
+    projection; rule order is the declaration order so the violation
+    list is deterministic."""
+    from post_modern_stack_spark.operators.expectations import validate_and_split
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    _, quarantine = validate_and_split(
+        ev,
+        {
+            "value_not_null": F.col("value").isNotNull(),
+            "value_non_negative": F.col("value") >= 0,
+            "known_event_type": F.col("event_type").isin(
+                "view", "click", "purchase", "signup"
+            ),
+        },
+    )
+    return quarantine.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat_ws(",", "violations").alias("violations"),
+    )

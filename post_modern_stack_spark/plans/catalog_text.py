@@ -2321,3 +2321,35 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-mean_lp), 4).alias("perplexity"),
         )
     )
+
+
+@query(
+    "rowwise_scorer_check",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             list_sum(list_transform(string_split(text, ' '),
+               t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 7)
+                    * 0.01 - 0.02))
+             / len(string_split(text, ' ')) AS margin
+      FROM documents
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-(margin + 0.1))), 6) AS p
+    FROM m
+    """,
+)
+def q_rowwise_scorer_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cross-engine check of the STREAMING scorer expression
+    itself (inference.logreg_prob_expr): weights fixed to the
+    arithmetic family w(b) = (b mod 7)·0.01 − 0.02 so the oracle
+    replays hash → bucket → lookup → mean → sigmoid exactly. Trained
+    weights ride the same expression (quality_classifier covers that
+    path rows-only)."""
+    from post_modern_stack_spark.operators.inference import logreg_prob_expr
+
+    weights = [(b % 7) * 0.01 - 0.02 for b in range(256)]
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(logreg_prob_expr("text", weights, bias=0.1), 6).alias("p"),
+    )

@@ -625,3 +625,25 @@ def test_trending_top_k_stream_sink_matches_batch(spark, tmp_path):
         if r["window_start"] != last_open
     )
     assert got == want and len(want) > 0
+
+
+def test_validate_and_split_partitions_rows(spark):
+    from post_modern_stack_spark.operators.expectations import validate_and_split
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "view"), (2, -1.0, "view"), (3, None, "bogus"), (4, 2.0, "click")],
+        "id long, value double, event_type string",
+    )
+    valid, quar = validate_and_split(
+        df,
+        {
+            "value_not_null": F.col("value").isNotNull(),
+            "value_non_negative": F.col("value") >= 0,
+            "known_type": F.col("event_type").isin("view", "click"),
+        },
+    )
+    assert sorted(r["id"] for r in valid.collect()) == [1, 4]
+    got = {r["id"]: list(r["violations"]) for r in quar.collect()}
+    assert got[2] == ["value_non_negative"]
+    # NULL value fails both null and range rules (range is NULL -> fail)
+    assert got[3] == ["value_not_null", "value_non_negative", "known_type"]
