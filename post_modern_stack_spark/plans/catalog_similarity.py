@@ -395,3 +395,65 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
+
+
+@query(
+    "pooled_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, vec_id // 10 AS group_id,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    ),
+    pooled AS (
+      SELECT group_id, dim, avg(v) AS m, count(*) AS n
+      FROM e GROUP BY group_id, dim
+    )
+    SELECT group_id,
+           any_value(n)::BIGINT AS n_vecs,
+           array_to_string(
+             list(CAST(round(m * 1e6) AS BIGINT) ORDER BY dim), ' ')
+             AS mean_vec_micro
+    FROM pooled
+    GROUP BY group_id
+    """,
+)
+def q_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] chunk→document embedding pooling: elementwise mean of
+    each 10-vector group — the aggregation every chunked-embedding
+    store needs to serve doc-level vectors. Engine shape: posexplode
+    to (group, dim, value), ONE hash agg (map-side combinable — the
+    shuffle carries ≤ groups×dim partials), then ordered re-assembly
+    via sort-struct collect; emitted as space-joined INTEGER
+    micro-units — double→string formatting differs between engines
+    (Spark scientific-notates 1e-4; DuckDB doesn't), integers don't."""
+    from post_modern_stack_spark.functions import ordered_collect
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = (
+        emb.select(
+            (F.col("vec_id") / 10).cast("long").alias("group_id"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "v"),
+        )
+        .groupBy("group_id", "dim")
+        .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return pooled.groupBy("group_id").agg(
+        F.any_value("n").cast("long").alias("n_vecs"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                ordered_collect(
+                    F.struct(
+                        F.col("dim").alias("d"),
+                        F.round(F.col("m") * 1e6).cast("long").alias("m"),
+                    ),
+                    "dim",
+                ),
+                lambda s: s.getField("m").cast("string"),
+            ),
+        ).alias("mean_vec_micro"),
+    )

@@ -2353,3 +2353,96 @@ def q_rowwise_scorer_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(logreg_prob_expr("text", weights, bias=0.1), 6).alias("p"),
     )
+
+
+@query(
+    "lsh_recall_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
+        WHERE i <= greatest(len(toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= 0.5
+    ),
+    x AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+        FROM sh
+    ),
+    mins AS (
+        SELECT doc_id, r.s,
+               min(((1103515245 * (r.s + 1)) % 1000000007 * x
+                    + (12345 * (r.s + 1) + 67890) % 1000000007)
+                   % 1000000007) AS h
+        FROM x, range(16) r(s)
+        GROUP BY doc_id, r.s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY s) AS band_key
+        FROM mins GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT
+      (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+      (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+      (SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))::BIGINT
+        AS n_hit,
+      round((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))::DOUBLE
+            / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+      round((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))::DOUBLE
+            / nullif((SELECT count(*) FROM cand), 0), 6) AS precision
+    """,
+)
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dedup-quality self-measurement: the portable MinHash-LSH
+    candidate set scored against exact-Jaccard ground truth —
+    TP/recall/precision in one row. Both sides are deterministic md5
+    arithmetic, so even the QUALITY REPORT is oracle-replayable; this
+    is the tuning dial (bands × rows/band) read before committing an
+    LSH config at corpus scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    truth = dedup.jaccard_pairs(d, min_jaccard=0.5).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_mode="md5"
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 6
+            ).alias("precision"),
+        )
+    )
