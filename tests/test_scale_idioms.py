@@ -395,3 +395,47 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in plan(left.join(right.hint("broadcast"), "id"))
     assert "SortMergeJoin" in plan(left.join(right.hint("merge"), "id"))
     assert "ShuffledHashJoin" in plan(left.join(right.hint("shuffle_hash"), "id"))
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a fact partitioned by day, joined to a dim filtered to 2
+    days, must scan only those partitions — the filter arrives at the
+    fact scan as a dynamicpruning subquery, not a full scan + join."""
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "fact_days")
+    fact.write.mode("overwrite").partitionBy("day").parquet(path)
+    f = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("3", "a"), ("7", "b"), ("9", "zz")], "day string, label string"
+    )
+    try:
+        # local tiny fixtures fail DPP's stats-based benefit estimate;
+        # the mechanism under test is the pruning subquery itself
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+        )
+        joined = f.join(dim.filter(F.col("label") < "z"), "day")
+        plan = joined._jdf.queryExecution().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and it computes the right rows: only days 3 and 7
+        assert joined.count() == 400
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+        )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must shrink the 32 configured shuffle partitions for a tiny
+    aggregate — the final (adaptive) plan shows coalesced reads, so
+    downstream stages don't schedule 32 near-empty tasks."""
+    df = spark.range(0, 1000).groupBy((F.col("id") % 5).alias("g")).count()
+    df.collect()  # materialize so AQE finalizes the plan
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final_plan and "coalesced" in final_plan, (
+        final_plan[:1500]
+    )
