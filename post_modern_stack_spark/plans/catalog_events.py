@@ -2189,3 +2189,59 @@ def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.concat_ws(",", "violations").alias("violations"),
     )
+
+
+@query(
+    "type_share_map",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           string_agg(c.event_type || ':' ||
+                      CAST(round(c.n::DOUBLE / t.tot, 4) AS VARCHAR),
+                      ',' ORDER BY c.event_type) AS shares
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def q_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type share profile built with MAP higher-order
+    functions (map_from_entries → transform_values normalize →
+    sorted-entry serialization) — the map-column surface the other
+    queries don't touch. Emitted as a sorted 'type:share' string so
+    the oracle (which has no map type worth fighting) hash-matches;
+    shares round to 4dp on both sides. One (user,type) agg + one
+    user-grain map assembly."""
+    from post_modern_stack_spark.functions import ordered_collect
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            ordered_collect(
+                F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")),
+                "event_type",
+            )
+        ).alias("counts")
+    )
+    tot = F.aggregate(
+        F.map_values("counts"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    shares = F.transform_values(
+        "counts", lambda k, v: F.round(v / tot, 4)
+    )
+    return m.select(
+        "user_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(shares),
+                lambda e: F.concat(
+                    e.getField("key"), F.lit(":"), e.getField("value").cast("string")
+                ),
+            ),
+        ).alias("shares"),
+    )

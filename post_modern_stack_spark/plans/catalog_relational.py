@@ -2142,3 +2142,42 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("days_to_ship", F.lit(0.5)).alias("median_days"),
         F.max("days_to_ship").cast("bigint").alias("max_days"),
     )
+
+
+@query(
+    "priority_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+             AS grouping_id,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+    """,
+)
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (the one
+    grouping construct cube/rollup queries don't exercise), run
+    through the SQL surface over registered views — mirroring how the
+    reference's dbt models are SQL against named relations. A single
+    Expand + one hash agg; the NULL-vs-'ALL' collapse keys on
+    grouping(), not on data NULLs."""
+    from post_modern_stack_spark.registry import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                 AS grouping_id,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus), ())
+        """
+    ).withColumn("grouping_id", F.col("grouping_id").cast("long"))
