@@ -457,3 +457,73 @@ def q_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mean_vec_micro"),
     )
+
+
+@query("semantic_dedup_kmeans")  # rows-only: trained-centroid clusters
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup end-to-end as published (Abbas'23): TRAINED
+    k-means clusters (similarity.kmeans_lloyd, k=8) bound the
+    quadratic cosine pass, per-cluster GEMM keeps min-id survivors —
+    the label-column variant (`semantic_dedup`) is the oracle-checked
+    twin; this one exercises the real trained-cluster path."""
+    from post_modern_stack_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    assignments, _ = similarity.kmeans_lloyd(emb, k=8, n_iter=5)
+    clustered = emb.join(assignments, "vec_id").select(
+        "vec_id", F.col("cluster").alias("label"), "embedding"
+    )
+    out = dedup.semantic_dedup(clustered, threshold=0.35)
+    return out.select(
+        "vec_id",
+        F.col("label").alias("cluster"),
+        "n_close_lower",
+        "keep",
+    )
+
+
+@query("ann_recall_report")  # rows-only: LSH/IVF are approximate by design
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANN quality self-report: recall@k of the two approximate
+    index paths (RP-LSH, IVF) against the exact brute-force top-k,
+    per query vector and overall — the dial read before picking an
+    index config for the corpus (companion to lsh_recall_report on
+    the text side). Truth ∩ approx via left-semi joins at
+    (query, neighbor) grain."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    truth = similarity.brute_force_top_k(emb, queries, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    reports = []
+    for name, approx in (
+        (
+            "rp_lsh",
+            similarity.rp_lsh_top_k(
+                emb, queries, k=_K, dim=64, bits=8, n_tables=4
+            ).select("query_id", "neighbor_id"),
+        ),
+        (
+            "ivf",
+            similarity.ivf_top_k(
+                emb, queries, k=_K, n_centroids=8, n_probe=2
+            ).select("query_id", "neighbor_id"),
+        ),
+    ):
+        hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        counts = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+        # zero-hit queries must appear in the report (their absence is
+        # the most important signal) — left-join from the query set
+        all_q = truth.select("query_id").distinct()
+        reports.append(
+            all_q.join(counts, "query_id", "left")
+            .na.fill({"n_hit": 0})
+            .select(
+                F.lit(name).alias("index"),
+                "query_id",
+                F.col("n_hit").cast("long").alias("n_hit"),
+                F.round(F.col("n_hit") / _K, 4).alias("recall_at_k"),
+            )
+        )
+    out = reports[0].unionByName(reports[1])
+    return out.orderBy("index", "query_id")
