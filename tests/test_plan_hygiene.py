@@ -44,6 +44,7 @@ EXECUTES_ON_BUILD = {
     "dedup_keep_best", "item_pagerank", "item_reachability",
     "item_triangles", "lsh_top_k", "ivf_top_k", "pq_top_k",
     "embedding_near_dups", "knn_label_vote", "top_k_cosine",
+    "semantic_dedup_kmeans", "ann_recall_report",
 }
 
 
