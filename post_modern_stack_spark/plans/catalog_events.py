@@ -2245,3 +2245,84 @@ def q_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("shares"),
     )
+
+
+@query(
+    "bounce_rate_daily",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_user_days,
+           sum((n_events = 1)::INT)::BIGINT AS n_bounces,
+           round(sum((n_events = 1)::INT)::DOUBLE / count(*), 6)
+             AS bounce_rate
+    FROM s GROUP BY day
+    """,
+)
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of (user, day) visits with exactly one
+    event — the engagement-floor metric. Two stacked aggs on the same
+    (user, day) key; the second reuses the first's exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_user_days",
+        "n_bounces",
+        "bounce_rate",
+    )
+
+
+@query(
+    "ltv_cohort_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(strftime(CAST(ts AS DATE), '%Y-%m')) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT e.user_id, f.cohort,
+             strftime(CAST(e.ts AS DATE), '%Y-%m') AS month,
+             e.value
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    )
+    SELECT cohort, month,
+           count(DISTINCT user_id)::BIGINT AS n_buyers,
+           round(sum(value), 2) AS revenue
+    FROM vals GROUP BY cohort, month
+    """,
+)
+def q_ltv_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV cohort matrix: purchase revenue by (first-seen month,
+    activity month) — the lifetime-value companion to user-count
+    retention (cohort_retention). The first-seen table is user-grain
+    (tiny vs the fact) and broadcasts; one fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM")).alias("cohort")
+    )
+    vals = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id", "cohort", F.date_format("ts", "yyyy-MM").alias("month"), "value"
+        )
+    )
+    return vals.groupBy("cohort", "month").agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
