@@ -2181,3 +2181,47 @@ def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority, o_orderstatus), ())
         """
     ).withColumn("grouping_id", F.col("grouping_id").cast("long"))
+
+
+@query(
+    "latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n,
+           round(quantile_cont(days, 0.5), 4) AS p50,
+           round(quantile_cont(days, 0.9), 4) AS p90,
+           round(quantile_cont(days, 0.99), 4) AS p99,
+           max(days)::BIGINT AS p_max
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ship-latency percentiles per order priority (order→ship
+    days): the SLA-reporting form with EXACT linear-interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont` on the
+    same integer days). One equi-join + one hash agg; at fact scale
+    swap in percentile_approx (the sketch path approx_sketches
+    registers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", days.alias("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(days, 0.99)"), 4).alias("p99"),
+            F.max("days").cast("long").alias("p_max"),
+        )
+    )
