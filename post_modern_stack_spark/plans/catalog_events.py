@@ -2326,3 +2326,31 @@ def q_ltv_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_buyers"),
         F.round(F.sum("value"), 2).alias("revenue"),
     )
+
+
+@query(
+    "hourly_activity_profile",
+    oracle="""
+    SELECT extract(hour FROM ts)::INT AS hour, event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity heatmap input per event type (UTC-pinned
+    sessions make extract(hour) engine-identical; day-of-week is the
+    numbering quirk — weekly_seasonality handles that one). Single
+    hash agg on a 24×5 key domain — map-side combine collapses
+    everything. Emits SUM not AVG: the synthetic 2dp values make
+    group averages land exactly on rounding boundaries, where
+    engine/run summation-order noise flips the rounded digit (caught
+    live at 54.77875 → 4dp coin-flip); sums at the data's own
+    precision have 0.005 of margin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
