@@ -2354,3 +2354,81 @@ def q_hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "wau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT m.month, m.mau::BIGINT AS mau,
+           round(avg(d.dau), 2) AS avg_dau,
+           round(avg(d.dau) / m.mau, 6) AS stickiness
+    FROM mau m JOIN dau d USING (month)
+    GROUP BY m.month, m.mau
+    """,
+)
+def q_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement-ratio staple.
+    Two distinct-count aggs (day and month grain; both two-phase
+    map-side-partial distincts) + a broadcast join of the tiny month
+    table. avg(dau) rounds at 2dp — dau is integer so the average's
+    boundary margin is 1/n, safe (NOTES avg-rounding rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.round(F.avg("dau"), 2).alias("avg_dau"),
+            F.round(F.avg("dau") / F.first("mau"), 6).alias("stickiness"),
+        )
+        .select("month", F.col("mau").cast("long").alias("mau"), "avg_dau", "stickiness")
+    )
+
+
+@query(
+    "basket_size_distribution",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, count(*) AS basket_size
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT basket_size::BIGINT AS basket_size,
+           count(*)::BIGINT AS n_orders,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM b), 6) AS share
+    FROM b GROUP BY basket_size
+    """,
+)
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution: lines per order → order counts
+    per size + share. Two stacked aggs (order grain, then the tiny
+    size domain) + a 1-row total broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_size"))
+    tot = b.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("basket_size")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("basket_size").cast("long").alias("basket_size"),
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("total"), 6).alias("share"),
+        )
+    )
