@@ -2446,3 +2446,33 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "sql_lateral_explode",
+    oracle="""
+    SELECT doc_id, tok, count(*)::BIGINT AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok LIKE 'a%'
+    GROUP BY doc_id, tok
+    """,
+)
+def q_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the pure-SQL surface (the HiveQL
+    construct dbt models use for array flattening) — the DataFrame
+    catalog everywhere else uses F.explode; this registers the SQL
+    spelling against the same semantics. Generate + filter pushed
+    below the aggregate."""
+    from post_modern_stack_spark.registry import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT doc_id, tok, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, '\\\\s+')) t AS tok
+        WHERE tok LIKE 'a%'
+        GROUP BY doc_id, tok
+        """
+    )

@@ -685,3 +685,44 @@ def test_versioned_table_crashed_merge_is_invisible_and_vacuumable(spark, tmp_pa
     removed = t.vacuum(retain_last=1)
     assert all(os.path.exists(os.path.dirname(d)) or True for d in removed)
     assert sorted((r["id"], r["val"]) for r in t.read().collect()) == got
+
+
+def test_windowed_counts_update_mode_emits_running_aggregates(spark, tmp_path):
+    """UPDATE output mode: every trigger emits the CURRENT value of
+    changed windows (no watermark-close wait) — the live-dashboard
+    contract, complementing the append-mode parity tests."""
+    from post_modern_stack_spark.registry import load_table
+    from post_modern_stack_spark.streaming import sessionize_stream as S
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "upd_in")
+    ev.repartition(2).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    counts = S.windowed_event_counts(stream, window="6 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("upd_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("upd_sink")
+    # update mode re-emits a window each time it changes; the LAST
+    # emission per (window, type) must equal the batch aggregate
+    import pyspark.sql.functions as F2
+
+    last = (
+        got.groupBy("window_start", "event_type")
+        .agg(F2.max(F2.struct("n_events", "total_value")).alias("s"))
+        .select("window_start", "event_type", "s.n_events", "s.total_value")
+    )
+    batch = S.windowed_event_counts(ev, window="6 hours")
+    a = {tuple(r) for r in last.collect()}
+    b = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert a == b and len(b) > 0
