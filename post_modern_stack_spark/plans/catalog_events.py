@@ -2432,3 +2432,28 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "sql_param_extract",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value >= 500.0
+    """,
+)
+def q_sql_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 as Spark 4 NAMED-PARAMETER SQL in the catalog proper: the
+    reference binds tenant filters with pyformat params
+    (my_dbt_flow.py:240,248-252); this is the engine-side spelling —
+    `spark.sql(query, args=...)` with `:name` markers, no string
+    interpolation, plan identical to the literal form (predicate
+    pushed to the scan)."""
+    from post_modern_stack_spark.registry import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = :etype AND value >= :minv",
+        args={"etype": "purchase", "minv": 500.0},
+    )
