@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "ks_statistic", "item_pagerank", "pq_top_k", "hit_rate_popularity",
     "negative_samples", "part_value_share", "rich_idle_customers",
     "bigram_perplexity", "benford_check", "lsh_recall_report",
+    "basket_size_distribution",
 }
 
 # queries whose construction RUNS jobs (iterative training/collect) —
