@@ -2439,7 +2439,7 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value
     FROM events
-    WHERE event_type = 'purchase' AND value >= 500.0
+    WHERE event_type = 'purchase' AND value >= 100.0
     """,
 )
 def q_sql_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2448,12 +2448,14 @@ def q_sql_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (my_dbt_flow.py:240,248-252); this is the engine-side spelling —
     `spark.sql(query, args=...)` with `:name` markers, no string
     interpolation, plan identical to the literal form (predicate
-    pushed to the scan)."""
+    pushed to the scan). minv=100.0 is satisfiable at every test SF
+    (purchase values span ~0-480), so a hash match proves the binding
+    actually filters rows — not merely that the query compiles."""
     from post_modern_stack_spark.registry import register_views
 
     register_views(spark, sf_dir, ["events"])
     return spark.sql(
         "SELECT event_id, user_id, value FROM events "
         "WHERE event_type = :etype AND value >= :minv",
-        args={"etype": "purchase", "minv": 500.0},
+        args={"etype": "purchase", "minv": 100.0},
     )

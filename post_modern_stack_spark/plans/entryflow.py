@@ -23,7 +23,16 @@ ORACLES: dict[str, str] = {}
 # window when the window is full. Only near-duplicates of another
 # in-window shape belong here; deferred queries stay oracle-paired and
 # are verified by the pytest oracle sweep instead.
-DEFER_FROM_WINDOW: tuple[str, ...] = ()
+#
+# Round 4 (VERDICT round-3 item 4): defer true twins whose sibling
+# shape is already covered, freeing window slots so round 5's window
+# closes the whole oracle-paired backlog in one pass.
+#   priority_grouping_sets — twin of status_priority_sets (green r03)
+#   scd2_intervals         — twin of scd2_user_state (in the r04 window)
+DEFER_FROM_WINDOW: tuple[str, ...] = (
+    "priority_grouping_sets",
+    "scd2_intervals",
+)
 
 def driver_green() -> frozenset[str]:
     """Names with a green driver-correctness row in ANY recorded round.
@@ -35,6 +44,12 @@ def driver_green() -> frozenset[str]:
     recorded files keeps the set current without hand-maintaining a
     name list each round; ``DRIVER_GREEN`` (round 1) is the fallback
     floor if no files are readable.
+
+    A recorded row only counts as green when ``spark_rows > 0``: a
+    hash match on an empty result proves the query compiles, not that
+    its predicates actually select rows (VERDICT round-3 flagged
+    ``sql_param_extract``'s 0-row green as vacuous). Zero-row rows are
+    ignored so the fixed query re-enters the driver window.
     """
     import glob
     import json
@@ -54,7 +69,12 @@ def driver_green() -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             flags = [v for v in row.values() if isinstance(v, bool)]
-            if row.get("err") is None and flags and all(flags):
+            if (
+                row.get("err") is None
+                and flags
+                and all(flags)
+                and row.get("spark_rows", 0) > 0
+            ):
                 green.add(name)
     return frozenset(green)
 
