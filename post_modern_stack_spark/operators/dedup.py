@@ -124,8 +124,8 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}); trailing hashes would be silently ignored"
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly; trailing hashes would be silently ignored"
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_mode)
@@ -642,8 +642,20 @@ def semantic_dedup(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
-    schema = f"{id_col} long, {cluster_col} int, n_close_lower long, keep int"
+    # id/cluster output types mirror the INPUT schema (ADVICE round-3:
+    # hardcoded long/int broke bigint cluster labels joined from
+    # cluster_pairs output, though the computation is type-agnostic)
+    in_schema = embeddings.schema
+    schema = T.StructType(
+        [
+            T.StructField(id_col, in_schema[id_col].dataType, True),
+            T.StructField(cluster_col, in_schema[cluster_col].dataType, True),
+            T.StructField("n_close_lower", T.LongType(), True),
+            T.StructField("keep", T.IntegerType(), True),
+        ]
+    )
 
     def dedup_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -734,7 +746,7 @@ def minhash_lsh_candidates_cross(
     """
     if num_hashes % bands:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly"
         )
     rows_per_band = num_hashes // bands
 

@@ -1127,6 +1127,11 @@ def parse_mp4_info(content: bytes) -> dict:
             elif t2 == b"mvhd" and hi2 - lo2 >= 20:
                 ver = data[lo2]
                 if ver == 1:
+                    # v1 layout reads up to lo2+32; a truncated v1 body
+                    # that passed the 20-byte v0 guard must not raise
+                    # (never-raise-on-untrusted-bytes contract).
+                    if hi2 - lo2 < 32:
+                        continue
                     ts = struct.unpack(">I", data[lo2 + 20 : lo2 + 24])[0]
                     dur = struct.unpack(">Q", data[lo2 + 24 : lo2 + 32])[0]
                 else:

@@ -575,22 +575,21 @@ def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_intervals",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ),
     changes AS (
-      SELECT user_id, event_type, ts_ms
+      SELECT user_id, event_type, ts_ms, event_id
       FROM e WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type,
            ts_ms AS valid_from,
-           lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
-             AS valid_to,
-           (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL)::INT
-             AS is_current
+           lead(ts_ms) OVER w2 AS valid_to,
+           (lead(ts_ms) OVER w2 IS NULL)::INT AS is_current
     FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
     """,
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,7 +599,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the warehouse dimension-versioning pattern built from an
     append-only log. Two windows over ONE (user) partitioning: the
     change-detect lag and the interval lead reuse the same exchange
-    (Catalyst folds them into one sort+window pass)."""
+    (Catalyst folds them into one sort+window pass). Both windows
+    tie-break on event_id (ADVICE round-3): two change rows at the
+    same ts_ms would otherwise make lead() nondeterministic across
+    engines."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     changes = (
@@ -611,7 +613,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_type") != F.col("event_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_ms")
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     return changes.select(
         "user_id",
         "event_type",

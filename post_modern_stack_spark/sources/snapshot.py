@@ -19,8 +19,9 @@ Per apply, against the CURRENT rows only:
   - changed key  → close the old version (valid_to = at_ts) AND
                    insert the new current one (valid_from = at_ts);
   - new key      → insert a current row;
-  - missing key  → with ``hard_deletes`` close the old version
-                   (dbt's invalidate_hard_deletes).
+  - missing key  → closed only when ``hard_deletes=True`` (dbt's
+                   invalidate_hard_deletes); the default False matches
+                   dbt's 'ignore' — deleted keys stay current.
 Both delta kinds are plain upserts keyed by (key, valid_from), so one
 ``merge_upsert`` call applies the whole delta atomically per bucket.
 """
@@ -49,12 +50,14 @@ class DbtSnapshot:
         unique_key: str,
         check_cols: list[str],
         n_buckets: int = 16,
+        hard_deletes: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = unique_key
         self.check_cols = list(check_cols)
         self.n_buckets = n_buckets
+        self.hard_deletes = hard_deletes
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -97,8 +100,12 @@ class DbtSnapshot:
         src_exists = F.col(f"s.{self.key}").isNotNull()
         cur_exists = F.col(f"c.{self.key}").isNotNull()
 
-        # close the stored version: changed or hard-deleted
-        closed = joined.filter(cur_exists & (~src_exists | diff)).select(
+        # close the stored version: changed, or (hard_deletes only)
+        # vanished from the source
+        close_pred = cur_exists & (src_exists & diff)
+        if self.hard_deletes:
+            close_pred = cur_exists & (~src_exists | diff)
+        closed = joined.filter(close_pred).select(
             F.col(f"c.{self.key}").alias(self.key),
             *[F.col(f"c.{col}").alias(col) for col in self.check_cols],
             F.col("c.valid_from").alias("valid_from"),

@@ -42,6 +42,18 @@ def test_semantic_dedup_planted_twin(spark):
     got = {r["vec_id"]: (r["keep"], r["n_close_lower"]) for r in semantic_dedup(df, threshold=0.9).collect()}
     assert got == {1: (1, 0), 2: (0, 1), 3: (1, 0), 4: (1, 0)}
 
+    # ADVICE round-3: output id/cluster types mirror the INPUT schema —
+    # a bigint cluster label (e.g. joined from cluster_pairs output)
+    # must not hit an applyInPandas schema mismatch
+    df_long = spark.createDataFrame(
+        rows, "vec_id int, label long, embedding array<double>"
+    )
+    out = semantic_dedup(df_long, threshold=0.9)
+    assert dict(out.dtypes)["label"] == "bigint"
+    assert dict(out.dtypes)["vec_id"] == "int"
+    got2 = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert got2 == {1: 1, 2: 0, 3: 1, 4: 1}
+
 
 def test_gopher_rules_flags(spark):
     from post_modern_stack_spark.operators.textstats import gopher_rules
@@ -288,7 +300,9 @@ def test_dbt_snapshot_scd2_lifecycle(spark, tmp_path):
     from post_modern_stack_spark.sources.snapshot import DbtSnapshot
 
     path = str(tmp_path / "snap")
-    snap = DbtSnapshot(spark, path, unique_key="id", check_cols=["city", "tier"])
+    snap = DbtSnapshot(
+        spark, path, unique_key="id", check_cols=["city", "tier"], hard_deletes=True
+    )
 
     v1 = spark.createDataFrame(
         [(1, "paris", "gold"), (2, "rome", "silver"), (3, "oslo", "bronze")],
@@ -325,6 +339,28 @@ def test_dbt_snapshot_scd2_lifecycle(spark, tmp_path):
     # per-key at most one current row
     cur = snap.current().groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_dbt_snapshot_default_ignores_hard_deletes(spark, tmp_path):
+    """dbt's default hard_deletes='ignore': keys missing from the source
+    stay current (ADVICE round-3 — the close branch must be gated)."""
+    from post_modern_stack_spark.sources.snapshot import DbtSnapshot
+
+    snap = DbtSnapshot(
+        spark, str(tmp_path / "snap"), unique_key="id", check_cols=["city"]
+    )
+    v1 = spark.createDataFrame(
+        [(1, "paris"), (2, "rome")], "id long, city string"
+    )
+    snap.apply(v1, at_ts=1000)
+    v2 = spark.createDataFrame([(1, "lyon")], "id long, city string")
+    stats = snap.apply(v2, at_ts=2000)
+    assert stats == {"inserted": 1, "closed": 1, "unchanged": 1}
+    rows = {(r["id"], r["valid_from"]): r for r in snap.read().collect()}
+    # id 2 vanished from the source but remains CURRENT
+    assert rows[(2, 1000)]["valid_to"] is None
+    assert rows[(1, 1000)]["valid_to"] == 2000
+    assert rows[(1, 2000)]["valid_to"] is None
 
 
 def _reference_bpe(word_counts, n_merges):
@@ -565,6 +601,20 @@ def test_container_parsers_never_crash_on_fuzz():
     for junk in (b"\xff\xfb", b"ID3", b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f", b"\x00\x00\x00\x08ftyp", b"\x00\x00\x00\x01moov"):
         parse_mp3_info(junk)
         parse_mp4_info(junk)
+    # ADVICE round-3: a 24-byte VERSION-1 mvhd body at end of file passes
+    # the 20-byte (v0-layout) size guard but the v1 layout reads through
+    # lo+32 — must fall through, not raise struct.error.
+    trunc_v1_mvhd = b"\x01" + b"\x00" * 23
+    mp4 = (
+        b"\x00\x00\x00\x08ftyp"
+        + (8 + 8 + len(trunc_v1_mvhd)).to_bytes(4, "big")
+        + b"moov"
+        + (8 + len(trunc_v1_mvhd)).to_bytes(4, "big")
+        + b"mvhd"
+        + trunc_v1_mvhd
+    )
+    info = parse_mp4_info(mp4)
+    assert info["container"] == "mp4" and info["duration_ms"] == 0
 
 
 def test_table_diff_classifies_changes(spark, tmp_path):
