@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from post_modern_stack_spark.functions import json_get, pad_sequence
+from post_modern_stack_spark.functions import core, json_get, pad_sequence
 from post_modern_stack_spark.operators import metrics as M
 from post_modern_stack_spark.operators import shaping, vocab
 from post_modern_stack_spark.operators.sessionize import (
@@ -901,7 +901,7 @@ def q_item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(avg(value), 4) AS avg_value
+           round(sum(value), 2) / count(value) AS avg_value
     FROM folded
     GROUP BY fold, event_type
     """,
@@ -924,7 +924,11 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # sum-based avg: value is 2dp, so round(sum,2) removes
+            # partition-order float noise BEFORE the divide — a 4dp
+            # round of a noisy avg can flip at an exact boundary
+            # (NOTES_r5 landmine; VERDICT round-3 item 3)
+            (F.round(F.sum("value"), 2) / F.count("value")).alias("avg_value"),
         )
     )
 
@@ -1193,7 +1197,8 @@ def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_sampled,
            count(DISTINCT user_id) AS n_users,
-           round(avg(value), 4) AS avg_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(value), 4)
+               AS avg_value
     FROM sampled
     GROUP BY event_type
     """,
@@ -1222,7 +1227,8 @@ def q_stratified_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # order-independent exact-cents mean (functions.core.exact_avg)
+            core.exact_avg("value", 4).alias("avg_value"),
         )
     )
 
@@ -1916,28 +1922,30 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user AS (
       SELECT user_id,
              sum(CASE WHEN epoch_ms(ts) < lo + (hi - lo) // 2
-                      THEN value ELSE 0 END) AS pre,
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pre_c,
              sum(CASE WHEN epoch_ms(ts) >= lo + (hi - lo) // 2
-                      THEN value ELSE 0 END) AS post
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS post_c
       FROM events, rng
       GROUP BY user_id
     ),
     st AS (
-      SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
-             avg(pre) AS mu
+      SELECT covar_pop(pre_c, post_c) / var_pop(pre_c) AS theta,
+             avg(pre_c) AS mu
       FROM per_user
     ),
     adj AS (
-      SELECT user_id % 2 AS arm, post,
-             post - theta * (pre - mu) AS adjusted
+      SELECT user_id % 2 AS arm, post_c,
+             post_c - theta * (pre_c - mu) AS adjusted_c
       FROM per_user, st
     )
     SELECT arm,
            count(*)::BIGINT AS n_users,
-           round(avg(post), 4) AS mean_post,
-           round(avg(adjusted), 4) AS mean_adjusted,
-           round(var_pop(post), 2) AS var_post,
-           round(var_pop(adjusted), 2) AS var_adjusted
+           round(sum(post_c) / 100.0 / count(*), 4) AS mean_post,
+           round(avg(adjusted_c) / 100.0, 4) AS mean_adjusted,
+           round(var_pop(post_c) / 10000.0, 2) AS var_post,
+           round(var_pop(adjusted_c) / 10000.0, 2) AS var_adjusted
     FROM adj GROUP BY arm
     """,
 )
@@ -1954,35 +1962,42 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
     )
     mid = F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2)
+    # per-user sums on exact integer cents (functions.core.cents):
+    # pre_c/post_c are then order-independent, so mean_post below is a
+    # deterministic quotient, not a merge-order-noisy double average
     per_user = (
         ev.crossJoin(F.broadcast(rng))
         .groupBy("user_id")
         .agg(
             F.sum(
-                F.when(F.col("ts_ms") < mid, F.col("value")).otherwise(0.0)
-            ).alias("pre"),
+                F.when(F.col("ts_ms") < mid, core.cents("value")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("pre_c"),
             F.sum(
-                F.when(F.col("ts_ms") >= mid, F.col("value")).otherwise(0.0)
-            ).alias("post"),
+                F.when(F.col("ts_ms") >= mid, core.cents("value")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("post_c"),
         )
     )
     st = per_user.agg(
-        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
-        F.avg("pre").alias("mu"),
+        (F.covar_pop("pre_c", "post_c") / F.var_pop("pre_c")).alias("theta"),
+        F.avg("pre_c").alias("mu"),
     )
     adj = per_user.crossJoin(F.broadcast(st)).select(
         (F.col("user_id") % 2).alias("arm"),
-        "post",
-        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mu"))).alias(
-            "adjusted"
+        "post_c",
+        (F.col("post_c") - F.col("theta") * (F.col("pre_c") - F.col("mu"))).alias(
+            "adjusted_c"
         ),
     )
     return adj.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.round(F.avg("post"), 4).alias("mean_post"),
-        F.round(F.avg("adjusted"), 4).alias("mean_adjusted"),
-        F.round(F.var_pop("post"), 2).alias("var_post"),
-        F.round(F.var_pop("adjusted"), 2).alias("var_adjusted"),
+        F.round(F.sum("post_c") / 100.0 / F.count(F.lit(1)), 4).alias("mean_post"),
+        F.round(F.avg("adjusted_c") / 100.0, 4).alias("mean_adjusted"),
+        F.round(F.var_pop("post_c") / 10000.0, 2).alias("var_post"),
+        F.round(F.var_pop("adjusted_c") / 10000.0, 2).alias("var_adjusted"),
     )
 
 

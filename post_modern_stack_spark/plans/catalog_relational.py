@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from post_modern_stack_spark.functions.core import cents
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -19,18 +20,26 @@ from post_modern_stack_spark.registry import load_table
 @query(
     "pricing_summary",
     oracle="""
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_discount * 100) AS BIGINT)      AS disc_c,
+               CAST(round(l_tax * 100) AS BIGINT)           AS tax_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-01-01 00:00:00'
+    )
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2)                                  AS sum_qty,
-           round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                  AS avg_qty,
-           round(avg(l_extendedprice), 4)                             AS avg_price,
-           round(avg(l_discount), 4)                                  AS avg_disc,
-           count(*)                                                   AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-01-01 00:00:00'
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(price_c) / 100.0, 2)                         AS sum_base_price,
+           round(sum(price_c * (100 - disc_c)) / 10000.0, 2)      AS sum_disc_price,
+           round(sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2)
+                                                                  AS sum_charge,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           round(sum(price_c) / 100.0 / count(*), 4)              AS avg_price,
+           round(sum(disc_c) / 100.0 / count(*), 4)               AS avg_disc,
+           count(*)                                               AS count_order
+    FROM li
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -39,20 +48,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic partial-aggregate showcase: ~6 output groups mean the
     map-side combine collapses virtually all rows before the shuffle.
+
+    Money aggregates run on exact integer cents (``functions.core.
+    cents``): double sums of 2dp/4dp/6dp fixed-point totals depend on
+    partial-merge order and can flip a boundary rounding between runs
+    (NOTES_r5 landmine); integer sums are order-independent and exact
+    to int64 range. l_quantity is integer-valued, so its double sum is
+    already exact (< 2^53).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_c, disc_c, tax_c = (
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -133,8 +157,11 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue",
     oracle="""
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           round(avg(l.l_discount), 4)                           AS avg_discount,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2)                                   AS revenue,
+           round(sum(CAST(round(l.l_discount * 100) AS BIGINT))
+                 / 100.0 / count(*), 4)                          AS avg_discount,
            count(*)                                              AS n_items
     FROM part p
     JOIN lineitem l ON l.l_partkey = p.p_partkey
@@ -150,10 +177,15 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
+            # exact cents math: see pricing_summary / functions.core.cents
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                / 10000.0,
+                2,
             ).alias("revenue"),
-            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.round(F.sum(cents("l_discount")) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "avg_discount"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1023,9 +1055,11 @@ def q_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey,
            count(*)                 AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                                    AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 6)
+    WHERE c.c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                                / 100.0 / count(*)
                          FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
@@ -1043,11 +1077,14 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    # threshold rounds to 6dp on both sides: the raw c_acctbal doubles
-    # are bit-identical across engines, only the avg accumulation drifts
+    # threshold via exact integer-cents sum (functions.core.cents): the
+    # quotient is then a deterministic double on both engines, so the
+    # filter selects identical rows on every run — no rounding needed
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.round(F.avg("c_acctbal"), 6).alias("__avg"))
+        .agg(
+            (F.sum(cents("c_acctbal")) / 100.0 / F.count(F.lit(1))).alias("__avg")
+        )
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -1056,7 +1093,7 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(cents("c_acctbal")) / 100.0, 2).alias("totacctbal"),
         )
     )
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from post_modern_stack_spark.operators.asof import asof_join
 from post_modern_stack_spark.operators.rangejoin import interval_join_buckets
+from post_modern_stack_spark.functions.core import cents
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -537,16 +538,19 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,
                dayofweek(CAST(ts AS DATE)) + 1 AS dow,
-               sum(value) AS v
+               sum(CAST(round(value * 100) AS BIGINT)) AS v_c
         FROM events GROUP BY 1, 2
     ),
-    base AS (SELECT avg(v) AS overall FROM daily)
+    base AS (
+        SELECT sum(v_c) / CAST(count(*) AS DOUBLE) AS overall_c FROM daily
+    )
     SELECT dow,
            count(*) AS n_days,
-           round(avg(v), 2) AS avg_value,
-           round(avg(v) / base.overall, 6) AS seasonal_index
+           round(sum(v_c) / 100.0 / count(*), 2) AS avg_value,
+           round(sum(v_c) / CAST(count(*) AS DOUBLE) / base.overall_c, 6)
+               AS seasonal_index
     FROM daily, base
-    GROUP BY dow, base.overall
+    GROUP BY dow, base.overall_c
     """,
 )
 def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,17 +560,26 @@ def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation first, so the index math runs on ≤ |days| rows; the
     overall mean is a 1-row broadcast."""
     ev = load_table(spark, sf_dir, "events")
+    # day totals on exact integer cents → every downstream mean/ratio
+    # is a deterministic quotient of exact integers (NOTES_r5 landmine)
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), F.dayofweek(F.to_date("ts")).alias("dow")
-    ).agg(F.sum("value").alias("v"))
-    base = daily.agg(F.avg("v").alias("overall"))
+    ).agg(F.sum(cents("value")).alias("v_c"))
+    # explicit sum/count, not avg(): avg over longs accumulates as
+    # double on both engines, re-introducing merge-order noise
+    base = daily.agg(
+        (F.sum("v_c") / F.count(F.lit(1)).cast("double")).alias("overall_c")
+    )
     return (
         daily.crossJoin(F.broadcast(base))
         .groupBy("dow")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("v"), 2).alias("avg_value"),
-            F.round(F.avg("v") / F.first("overall"), 6).alias("seasonal_index"),
+            F.round(F.sum("v_c") / 100.0 / F.count(F.lit(1)), 2).alias("avg_value"),
+            F.round(
+                F.sum("v_c") / F.count(F.lit(1)).cast("double") / F.first("overall_c"),
+                6,
+            ).alias("seasonal_index"),
         )
     )
 

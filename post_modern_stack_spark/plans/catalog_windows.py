@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from post_modern_stack_spark.functions.core import cents
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -27,9 +28,14 @@ from post_modern_stack_spark.registry import load_table
     oracle="""
     SELECT event_id,
            user_id,
-           round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 / 100.0
+                 / count(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                  4) AS mov_avg
     FROM events
     """,
@@ -47,8 +53,16 @@ def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    # frame sum on exact integer cents: sliding-frame float sums are
+    # incremental (add/subtract) in Spark but segment-tree-merged in
+    # other engines, so a double avg can differ in the last bit right
+    # at a rounding boundary; integer frame sums are order-exempt
     return ev.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(cents("value")).over(w) / 100.0 / F.count("value").over(w), 4
+        ).alias("mov_avg"),
     )
 
 
@@ -503,7 +517,8 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           round(avg(e.value), 4) AS avg_raw,
+           round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 / count(*), 4)
+               AS avg_raw,
            round(avg(least(greatest(e.value, th.p05), th.p99)), 4)
                AS avg_winsorized,
            round(any_value(th.p05), 4) AS p05,
@@ -529,7 +544,14 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_raw"),
+            # avg_raw over exact cents (order-independent); the
+            # winsorized mean keeps a plain double avg — its terms mix
+            # 2dp values with interpolated percentiles, so the true
+            # mean has an arbitrary mantissa and cannot sit exactly on
+            # a 4dp rounding boundary
+            F.round(F.sum(cents("value")) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "avg_raw"
+            ),
             F.round(F.avg(clipped), 4).alias("avg_winsorized"),
             F.round(F.first("p05"), 4).alias("p05"),
             F.round(F.first("p99"), 4).alias("p99"),
