@@ -12,12 +12,15 @@ Each query is executed to completion via a noop-sink terminal action
 driver collection overhead).
 
 Noise handling: this shared host swings identical queries 0.5 s ↔ 7.5 s
-between runs (BASELINE.md variance caveat). Queries whose first run
-exceeds RETRY_ABOVE_SEC get ONE re-run and report the min — per-query
-best-of is the stable estimator of plan cost here, and the retry set is
-bounded so the sweep stays well inside the driver's timeout. A time
-budget guard skips retries entirely if the first sweep already ran
-long (pathologically noisy host).
+between runs (BASELINE.md variance caveat). Each query is timed up to
+REPS (3) times and reports the per-query MEDIAN (VERDICT round-3 item
+8: medians make round-over-round diffs signal, where a single sweep
+made `quality_score` appear to regress 4.3× on no code change). The
+first sweep is unconditional; extra sweeps run only while the
+cumulative wall clock stays under EXTRA_SWEEP_BUDGET_SEC, so a
+pathologically noisy host degrades to fewer samples per query instead
+of blowing the driver's timeout. With 2 samples the min is reported
+(the median of 2 is a mean — worse under one-sided noise).
 """
 
 from __future__ import annotations
@@ -29,8 +32,8 @@ import time
 
 import pandas as pd
 
-RETRY_ABOVE_SEC = 1.5  # first-run time that triggers one confirming re-run
-RETRY_BUDGET_SEC = 400.0  # skip retries if the first sweep used more than this
+REPS = 3  # samples per query (median reported)
+EXTRA_SWEEP_BUDGET_SEC = 420.0  # stop sampling past this cumulative wall clock
 
 
 def main() -> None:
@@ -65,25 +68,40 @@ def main() -> None:
 
     total0 = time.perf_counter()
     failed_elapsed = 0.0  # a broken query must not IMPROVE the headline
-    for name in qs:
-        t0 = time.perf_counter()
-        try:
-            timings[name] = run_once(name)
-        except Exception as e:  # a broken query must not sink the bench
-            timings[name] = -1.0
-            failed_elapsed += time.perf_counter() - t0
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in qs}
+    failed: set[str] = set()
+    for sweep in range(REPS):
+        for name in qs:
+            if name in failed:
+                continue
+            if sweep > 0 and time.perf_counter() - total0 > EXTRA_SWEEP_BUDGET_SEC:
+                print(
+                    f"bench: budget reached in sweep {sweep + 1}; "
+                    "remaining queries keep fewer samples",
+                    file=sys.stderr,
+                )
+                break
+            t0 = time.perf_counter()
+            try:
+                samples[name].append(run_once(name))
+            except Exception as e:  # a broken query must not sink the bench
+                failed.add(name)
+                failed_elapsed += time.perf_counter() - t0
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+        else:
+            continue
+        break  # budget reached: stop outer sweeps too
 
-    # retries stop the moment the CUMULATIVE budget is spent, not just
-    # on a gate at entry — a noisy first sweep must not double the run
-    for name in [n for n, t in timings.items() if t > RETRY_ABOVE_SEC]:
-        if time.perf_counter() - total0 > RETRY_BUDGET_SEC:
-            print("bench: retry budget exhausted, keeping first-run times", file=sys.stderr)
-            break
-        try:
-            timings[name] = min(timings[name], run_once(name))
-        except Exception as e:
-            print(f"bench: {name} retry FAILED: {e}", file=sys.stderr)
+    def estimate(vals: list[float]) -> float:
+        if not vals:
+            return -1.0
+        if len(vals) == 2:
+            return min(vals)  # median of 2 = mean; min is noise-robust
+        return sorted(vals)[len(vals) // 2]
+
+    timings = {n: estimate(v) for n, v in samples.items()}
+    for n in failed:
+        timings[n] = -1.0
 
     total = round(sum(t for t in timings.values() if t > 0) + failed_elapsed, 3)
 
@@ -99,6 +117,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "queries": timings,
+        "estimator": "per-query median of up to %d samples" % REPS,
+        "samples": samples,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

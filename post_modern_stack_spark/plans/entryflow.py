@@ -21,17 +21,28 @@ ORACLES: dict[str, str] = {}
 
 # Oracle-paired queries to list AFTER the driver's bounded correctness
 # window when the window is full. Only near-duplicates of another
-# in-window shape belong here; deferred queries stay oracle-paired and
-# are verified by the pytest oracle sweep instead.
+# in-window shape (or late-paired queries that would displace a
+# never-checked family) belong here; deferred queries stay
+# oracle-paired and are verified by the pytest oracle sweep instead.
+# __spark_entry__.queries() auto-releases this list back into the
+# verification window as soon as everything fits, so no round has to
+# remember to un-defer.
 #
-# Round 4 (VERDICT round-3 item 4): defer true twins whose sibling
-# shape is already covered, freeing window slots so round 5's window
-# closes the whole oracle-paired backlog in one pass.
+# Round 4 (VERDICT round-3 items 1/4/5): defer true twins whose
+# sibling shape is already covered, keeping the round-4 window on the
+# never-driver-checked K family.
 #   priority_grouping_sets — twin of status_priority_sets (green r03)
 #   scd2_intervals         — twin of scd2_user_state (in the r04 window)
+#   item_pagerank          — newly oracle-paired this round; registered
+#                            early in catalog_events, so listing it in
+#                            the window NOW would displace a K-family
+#                            query (graph-twin item_reachability is in
+#                            the r04 window; the numpy power-iteration
+#                            parity test covers pagerank meanwhile)
 DEFER_FROM_WINDOW: tuple[str, ...] = (
     "priority_grouping_sets",
     "scd2_intervals",
+    "item_pagerank",
 )
 
 def driver_green() -> frozenset[str]:

@@ -180,6 +180,19 @@ def stateful_session_arrays(events: DataFrame) -> DataFrame:
     Input: the normalized event stream. Output: one row per closed
     session with the time-ordered interaction array — streaming parity
     with the batch flagship (catalog ``sessionize``).
+
+    This IS the supported J5 path. A ``transformWithStateInPandas``
+    (state API v2) variant with event-time-timer eviction existed
+    through round 3 behind a ``google.protobuf`` import gate; the
+    dependency (the v2 state-server protocol) cannot be satisfied in
+    this environment (no installer, no vendorable wheel), so the
+    variant was deleted rather than carried as permanently-gated dead
+    code (VERDICT round-3 item 6; the code remains in git history at
+    tag-commit 77a3766 for a protobuf-equipped deployment to revive).
+    On a real cluster v2's advantages are event-time correctness for
+    late data and RocksDB-backed ListState; v1's processing-time
+    timeout is the portable equivalent and is what the late-data
+    parity tests pin down.
     """
     # drop NULL-k events BEFORE accumulation: the pandas path would
     # stringify None into a literal "None" token, silently diverging
@@ -197,106 +210,6 @@ def stateful_session_arrays(events: DataFrame) -> DataFrame:
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-    )
-
-
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
-
-
-class _SessionArrayProcessor(StatefulProcessor):
-    """Spark 4 ``StatefulProcessor`` for J5 (transformWithState v2).
-
-    State: one ListState of (ts_ns, event_id, k) tuples per user.
-    Eviction: an event-time timer re-armed to (max seen event time +
-    gap) on every batch; when the watermark passes it, the session
-    closes and the ordered array is emitted. Event-time semantics make
-    this variant late-data-correct, unlike the processing-time-timeout
-    ``applyInPandasWithState`` path.
-    """
-
-    def __init__(self, gap_ms: int = 30 * 60 * 1000) -> None:
-        self.gap_ms = gap_ms
-
-    def init(self, handle) -> None:
-        self.handle = handle
-        self.rows = handle.getListState(
-            "rows", "ts_ns LONG, event_id LONG, k STRING"
-        )
-        self.max_ts = handle.getValueState("max_ts", "ts_ms LONG")
-
-    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        max_ts = self.max_ts.get()[0] if self.max_ts.exists() else 0
-        for pdf in rows:
-            for ts_ns, event_id, k in zip(pdf["ts_ns"], pdf["event_id"], pdf["k"]):
-                self.rows.appendValue((int(ts_ns), int(event_id), str(k)))
-                max_ts = max(max_ts, int(ts_ns) // 1_000_000)
-        self.max_ts.update((max_ts,))
-        # re-arm the session-close timer at (last event time + gap)
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
-        self.handle.registerTimer(max_ts + self.gap_ms)
-        return iter([])
-
-    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
-        collected = sorted(tuple(r) for r in self.rows.get())
-        self.rows.clear()
-        self.max_ts.clear()
-        self.handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [len(collected)],
-                "interactions": [[r[2] for r in collected]],
-            }
-        )
-
-    def close(self) -> None:
-        pass
-
-
-def stateful_session_arrays_v2(
-    events: DataFrame,
-    gap_ms: int = 30 * 60 * 1000,
-    watermark: str = "10 minutes",
-) -> DataFrame:
-    """J5 via ``transformWithStateInPandas`` (Spark 4 state API v2):
-    event-time-timer session eviction — sessions close when the
-    WATERMARK passes last-event + gap, so late rows within the
-    watermark still join their session (the v1 processing-time variant
-    closes on wall-clock quiet instead).
-
-    Requires ``google.protobuf`` (the state-server protocol); not
-    present in this container, so the operator is implemented and
-    gated — the environment-independent v1 path is
-    :func:`stateful_session_arrays`.
-    """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "transformWithStateInPandas needs google.protobuf, which is "
-            "not installed in this environment; use "
-            "stateful_session_arrays (applyInPandasWithState) instead"
-        ) from e
-    prepped = (
-        events.withWatermark("ts", watermark)
-        .select(
-            "user_id",
-            "ts",
-            "ts_ns",
-            "event_id",
-            F.get_json_object("props", "$.k").alias("k"),
-        )
-        .filter(F.col("k").isNotNull())  # same NULL-k contract as v1
-    )
-    return prepped.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_SessionArrayProcessor(gap_ms),
-        outputStructType=SESSION_OUT_SCHEMA,
-        outputMode="append",
-        timeMode="eventTime",
     )
 
 
