@@ -221,11 +221,13 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
            strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')     AS orderdate,
            o.o_orderpriority,
            row_number() OVER (
-             ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+             ORDER BY round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) DESC,
                       l.l_orderkey) AS rank
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -257,7 +259,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                / 10000.0,
+                2,
             ).alias("revenue")
         )
     )
@@ -279,7 +283,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items_by_nation",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS lost_revenue,
            count(DISTINCT c.c_custkey)                           AS n_customers,
            count(*)                                              AS n_items
     FROM lineitem l
@@ -305,7 +310,9 @@ def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                / 10000.0,
+                2,
             ).alias("lost_revenue"),
             F.count_distinct("c_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_items"),
@@ -438,10 +445,14 @@ def q_priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "promo_revenue_ratio",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    SELECT round(CAST(100.0 AS DOUBLE)
+                 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                 4) AS promo_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1999-09-01 00:00:00'
@@ -449,21 +460,26 @@ def q_priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional to total aggregate in a
-    single aggregation (LIKE-prefix predicate inside the CASE)."""
+    single aggregation (LIKE-prefix predicate inside the CASE).
+
+    Both sums run on exact scaled-integer revenue (the 1e-4 scale
+    cancels in the ratio), so the quotient is a deterministic double —
+    a ratio of two 4dp totals CAN land exactly on a 4dp rounding
+    boundary, where merge-order noise would flip the digit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1999-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-09-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     promo = F.col("p_type").startswith("PROMO")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(promo, rev).otherwise(0.0))
-                / F.sum(rev),
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev_c).otherwise(F.lit(0).cast("long")))
+                / F.sum(rev_c),
                 4,
             ).alias("promo_pct")
         )
@@ -641,7 +657,8 @@ def q_supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name                                         AS supp_nation,
            n2.n_name                                         AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT)                AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders   o ON o.o_orderkey = l.l_orderkey
@@ -688,7 +705,9 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lo.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+        ).alias(
             "revenue"
         )
     )
@@ -815,11 +834,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_value_share",
     oracle="""
     SELECT l_partkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) >
-           (SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.0005, 2)
+    HAVING round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) >
+           (SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                              AS DOUBLE)
+                         / 10000.0 * CAST(0.0005 AS DOUBLE), 2)
             FROM lineitem)
     """,
 )
@@ -834,11 +858,16 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare is map-side against the broadcast scalar.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # both compare sides round to 2dp so cross-engine double-summation
-    # drift near the threshold cannot flip row membership vs the oracle
-    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(value), 2).alias("__v"))
-    total = li.agg(F.round(F.sum(value) * F.lit(0.0005), 2).alias("__threshold"))
+    value_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    # both compare sides are exact scaled-integer sums, so the
+    # threshold compare is between deterministic doubles — membership
+    # cannot flip on merge-order drift on either engine
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(value_c) / 10000.0, 2).alias("__v")
+    )
+    total = li.agg(
+        F.round(F.sum(value_c) / 10000.0 * F.lit(0.0005), 2).alias("__threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("__v") > F.col("__threshold"))
@@ -851,7 +880,8 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -883,7 +913,9 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+        ).alias(
                 "total_revenue"
             )
         )
@@ -1252,7 +1284,8 @@ def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "discounted_brand_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -1289,7 +1322,9 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                / 10000.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1299,7 +1334,9 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)
+               AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1324,9 +1361,9 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0, 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1336,11 +1373,12 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN s_nation = 'NATION_4' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(sum(CASE WHEN s_nation = 'NATION_4' THEN volume_c ELSE 0 END)
+                 / sum(volume_c), 6) AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_c,
              ns.n_name AS s_nation
       FROM lineitem l
       JOIN orders   o  ON o.o_orderkey  = l.l_orderkey
@@ -1387,14 +1425,23 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == ns.s_nkey)
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact scaled-integer volume (functions.core.cents): the share is
+    # then a ratio of exact integers — a ratio of two 4dp totals can
+    # land exactly on the 6dp rounding boundary, where float noise flips
+    vol_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
-        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "s_nation")
+        joined.select(
+            F.year("o_orderdate").alias("o_year"), vol_c.alias("volume_c"), "s_nation"
+        )
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("s_nation") == "NATION_4", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("s_nation") == "NATION_4", F.col("volume_c")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                / F.sum("volume_c"),
                 6,
             ).alias("mkt_share")
         )
@@ -1404,12 +1451,14 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "product_profit_by_nation_year",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, round(sum(amount) / 10000.0, 2) AS sum_profit
     FROM (
       SELECT ns.n_name AS nation,
              year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - p.p_retailprice * l.l_quantity AS amount
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 100 AS amount
       FROM lineitem l
       JOIN part     p  ON p.p_partkey    = l.l_partkey
       JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
@@ -1443,13 +1492,15 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(ns), s.s_nationkey == ns.s_nkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+    # exact 1e-4-unit integer amount: revenue (4dp) minus cost (2dp
+    # price x integer quantity, rescaled) stays integer end-to-end
+    amount = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
         "p_retailprice"
-    ) * F.col("l_quantity")
+    ) * F.col("l_quantity").cast("long") * 100
     return (
         joined.select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount") / 10000.0, 2).alias("sum_profit"))
     )
 
 
@@ -1499,7 +1550,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_join_revenue",
     oracle="""
     SELECT o.o_orderstatus,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1524,7 +1576,9 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, o, on="l_orderkey", buckets=8)
     return joined.groupBy("o_orderstatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+        ).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_items"),
@@ -1809,8 +1863,10 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     l AS (
         SELECT l_orderkey AS okey,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                   AS got_total
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                     / 1000000.0, 2) AS got_total
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT coalesce(o.okey, l.okey) AS okey,
@@ -1845,13 +1901,17 @@ def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey_o"),
         F.col("o_totalprice").alias("expect_total_raw"),
     )
+    # exact 1e-6-unit integer charge (functions.core.cents): the
+    # recomputed total is deterministic, so the 1% drift classification
+    # cannot flip on merge-order float noise
     l = li.groupBy(F.col("l_orderkey").alias("okey_l")).agg(
         F.round(
             F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
+                cents("l_extendedprice")
+                * (100 - cents("l_discount"))
+                * (100 + cents("l_tax"))
+            )
+            / 1000000.0,
             2,
         ).alias("got_total")
     )

@@ -290,7 +290,8 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           round(sum(value * (t_next - t)) / sum(t_next - t), 4) AS twap,
+           round(sum(CAST(round(value * 100) AS BIGINT) * (t_next - t))
+                 / 100.0 / sum(t_next - t), 4) AS twap,
            count(*) AS n_intervals
     FROM seq
     WHERE t_next IS NOT NULL AND t_next > t
@@ -315,7 +316,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("t_next").isNotNull() & (dur > 0))
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias("twap"),
+            # exact integer cents x ms weights: the weighted mean is a
+            # ratio of exact integers (scaled by 100), so the rounding
+            # is deterministic on both engines
+            F.round(F.sum(cents("value") * dur) / 100.0 / F.sum(dur), 4).alias(
+                "twap"
+            ),
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
