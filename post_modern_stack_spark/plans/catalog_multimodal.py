@@ -66,10 +66,16 @@ def q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_dedup_groups",
     oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    )
     SELECT sha256(text) AS content_sha,
            min(doc_id)          AS media_id,
            count(*)             AS n_copies
-    FROM documents
+    FROM corpus
     GROUP BY sha256(text)
     HAVING count(*) > 1
     """,
@@ -78,12 +84,28 @@ def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-on-binary (K5 dedup): duplicate media groups by content
     digest — keeper id + copy count for every digest seen twice.
 
+    The documents table is duplicate-free at sf<=0.01, which made the
+    round-1 green row vacuous (0 rows matched on both engines — the
+    sha2 grouping itself was never value-checked). The corpus now
+    plants deterministic exact copies (every doc_id % 50 == 0
+    re-ingested under an offset id — the re-crawl/re-upload scenario),
+    so dup groups exist at every SF and the digest values themselves
+    hash-compare.
+
     Exercises operators/multimodal.media_dedup unchanged: sha2 over
     the binary column groups JVM-side; only digests shuffle (32 bytes
     per row regardless of media size), which is what makes exact
     binary dedup viable at 100 TB.
     """
-    media = _as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    media = _as_media(
+        corpus.withColumn("source", F.lit("replay")).select("doc_id", "source", "text")
+    )
     return multimodal.media_dedup(media).filter(F.col("n_copies") > 1)
 
 

@@ -394,14 +394,29 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
     """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → ``left_anti`` join (TPC-H Q22 family)."""
+    """Correlated NOT EXISTS with a build-side predicate →
+    filter-then-``left_anti`` (TPC-H Q22 family).
+
+    Originally "customers with no orders at all", but the synthetic
+    data gives every customer at least one order — the round-1 green
+    row matched on 0 rows (vacuous, same class VERDICT round 3 flagged
+    on sql_param_extract). Scoped to '1-URGENT' orders the anti-join
+    has real survivors at every SF (203 at sf0.01), so the next driver
+    row value-checks the anti-join semantics. The predicate lands on
+    the build side BEFORE the join — at 100 TB the anti-join's
+    build/shuffle carries only urgent orders' custkeys.
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -1093,22 +1108,37 @@ def q_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
                                 / 100.0 / count(*)
                          FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY c.c_nationkey
     """,
 )
 def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS
-    anti-join (high-balance customers who never ordered).
+    anti-join (high-balance customers with no RECENT order).
+
+    Originally "never ordered", but the synthetic data gives every
+    customer at least one order, so the round-1 green row matched on
+    0 rows (vacuous — same class VERDICT round 3 flagged on
+    sql_param_extract). "Idle" is now "no order since 2000-01-01",
+    which has real survivors at every SF (5 / 55 / 646 customers at
+    sf0.001/0.01/0.1), so the next driver row value-checks the scalar
+    threshold AND the anti-join semantics on real rows.
 
     Spark-first: the average is a one-row broadcast; NOT EXISTS is a
-    left_anti against the orders key set. Anti-joining on o_custkey
-    after projecting just that column keeps the build side minimal;
-    at 100 TB the anti-join shuffles only (custkey) pairs, and the
-    customer-side filter runs map-side against the broadcast scalar.
+    left_anti against the orders key set. The date predicate lands on
+    the build side BEFORE the join (pushed to the orders scan), so at
+    100 TB the anti-join shuffles only recent orders' custkeys, and
+    the customer-side filter runs map-side against the broadcast
+    scalar.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     # threshold via exact integer-cents sum (functions.core.cents): the
     # quotient is then a deterministic double on both engines, so the
     # filter selects identical rows on every run — no rounding needed

@@ -2087,13 +2087,14 @@ def q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw LEFT JOIN tgt USING (bucket), tot
     ),
     dsir AS (
-      SELECT doc_id, round(sum(log_ratio), 4) AS lw
-      FROM b JOIN dist USING (bucket) GROUP BY doc_id
+      SELECT doc_id, round(sum(c * log_ratio), 4) AS lw, sum(c) AS ntok
+      FROM (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2) bc
+      JOIN dist USING (bucket) GROUP BY doc_id
     ),
     surv AS (
       SELECT d.doc_id, d.source, d.n_tokens
       FROM ded d JOIN dsir USING (doc_id)
-      WHERE dsir.lw >= -1.0
+      WHERE dsir.lw >= -0.5 * dsir.ntok
     ),
     keyed AS (
       SELECT *,
@@ -2134,8 +2135,14 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's ops and every stage oracle-replayed: Gopher sub-rules
     (word-count, alpha-share, mean-word-length — the stopword rule is
     vacuous on the synthetic vocab) → exact dedup keep-min → DSIR
-    importance gate (lw ≥ −1 vs target src0) → A-ES weighted sample
-    (10 docs/source ∝ length) → greedy 256-token packing. The final
+    importance gate → A-ES weighted sample
+    (10 docs/source ∝ length) → greedy 256-token packing. The DSIR
+    gate is PER-TOKEN (lw ≥ −0.5·n_tokens): the raw log-ratio sum
+    scales with doc length and corpus size (−4.9..−49.5 at sf0.01), so
+    the original absolute cut lw ≥ −1 selected 0 docs there and the
+    whole manifest was empty — a vacuous pass. The per-token form is
+    scale-free: 445/500, 354/500, 5000/5000 docs survive at
+    sf0.001/0.01/0.1. The final
     manifest (source, bin, doc, tokens) is what a trainer's data
     loader consumes; the whole pipeline is deterministic, portable-
     hash-seeded, and hash-checked cross-engine."""
@@ -2153,10 +2160,10 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = textstats.exact_keep_min(filtered)
     lw = textstats.dsir_weights(
         docs, target_filter=F.col("source") == "src0"
-    ).select("doc_id", "dsir_logratio")
+    ).select("doc_id", "dsir_logratio", F.col("n_tokens").alias("__ntok"))
     surv = (
         deduped.join(lw, "doc_id")
-        .filter(F.col("dsir_logratio") >= -1.0)
+        .filter(F.col("dsir_logratio") >= -0.5 * F.col("__ntok"))
         .select(
             "source",
             "doc_id",

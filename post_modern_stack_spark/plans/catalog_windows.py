@@ -459,32 +459,56 @@ def q_deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                user_id,
                value,
-               count(*)    OVER w AS n_frame,
-               avg(value)  OVER w AS mu,
-               stddev_samp(value) OVER w AS sd
+               count(*) OVER w                                AS n_frame,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s1,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) OVER w AS s2,
+               CAST(round(value * 100) AS BIGINT)             AS c0
         FROM events
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY ts, event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    exact AS (
+        SELECT event_id, user_id, value,
+               7 * c0 - s1       AS d,
+               7 * s2 - s1 * s1  AS m,
+               s1
+        FROM scored WHERE n_frame = 7
     )
     SELECT event_id,
            user_id,
            value,
-           round((value - mu) / sd, 4) AS zscore
-    FROM scored
-    WHERE n_frame = 7
-      AND sd > 1e-9
-      AND abs((value - mu) / sd) > 2.5
+           round((value - s1 / 700.0) / sqrt(m / 420000.0), 4) AS zscore
+    FROM exact
+    WHERE m > 0 AND 3 * d * d > 14 * m
     """,
 )
 def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style anomaly detection: per-user rolling 7-event
-    mean/stddev, flag |z| > 2.5 — the monitoring primitive behind
+    mean/stddev, flag |z| > 2 — the monitoring primitive behind
     metric-outlier alerts, expressed as one ROWS frame.
 
-    One shuffle on user_id; all three frame aggregates share the same
-    sorted frame (single window pass). Only full frames score, so the
-    first 6 events per user never alert on noise.
+    Two determinism traps fixed here (NOTES_r7 window-frame class,
+    plus the sql_param_extract vacuous-green class):
+
+    * threshold 2.5 selected 0 rows at sf0.01 (max |z| ≈ 2.4 on full
+      frames), so a driver hash-match would have proven nothing; 2.0
+      flags ~300 events at sf0.01.
+    * float mu/sd from sliding frames differ between Spark's
+      incremental frame evaluation and DuckDB's segment trees, and a
+      near-threshold |z| could flip ROW MEMBERSHIP between engines.
+      Both sides therefore reduce the frame to exact integer cents
+      sums (s1, s2 — int64-exact: 7·(1e5)² ≪ 2^63) and decide
+      membership with the EXACT integer predicate
+      |z| > 2  ⟺  z² = 6·D²/(7·M) > 4  ⟺  3·D² > 14·M,
+      where D = 7·c0 − s1 and M = 7·s2 − s1² (42·10⁴·var). The
+      reported zscore is then one identical double expression of
+      (value, s1, M) on both engines.
+
+    One shuffle on user_id; the three frame aggregates share one
+    sorted frame. Only full frames (n=7) score, so the first 6 events
+    per user never alert on noise.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -492,17 +516,27 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
+    c0 = cents("value")
     scored = ev.select(
         "event_id",
         "user_id",
         "value",
         F.count(F.lit(1)).over(w).alias("n_frame"),
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
+        F.sum(c0).over(w).alias("s1"),
+        F.sum(c0 * c0).over(w).alias("s2"),
+        c0.alias("c0"),
+    ).filter(F.col("n_frame") == 7)
+    exact = scored.select(
+        "event_id",
+        "user_id",
+        "value",
+        (7 * F.col("c0") - F.col("s1")).alias("d"),
+        (7 * F.col("s2") - F.col("s1") * F.col("s1")).alias("m"),
+        "s1",
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
-    return scored.filter(
-        (F.col("n_frame") == 7) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+    z = (F.col("value") - F.col("s1") / 700.0) / F.sqrt(F.col("m") / 420000.0)
+    return exact.filter(
+        (F.col("m") > 0) & (3 * F.col("d") * F.col("d") > 14 * F.col("m"))
     ).select("event_id", "user_id", "value", F.round(z, 4).alias("zscore"))
 
 

@@ -39,10 +39,29 @@ ORACLES: dict[str, str] = {}
 #                            query (graph-twin item_reachability is in
 #                            the r04 window; the numpy power-iteration
 #                            parity test covers pagerank meanwhile)
+#   media_dedup_groups     — round-1 green row was vacuous (0 rows on
+#                            dup-free sf0.01 data; removed from the
+#                            DRIVER_GREEN floor); the query now plants
+#                            deterministic duplicate payloads so its
+#                            next driver row value-checks the sha2
+#                            grouping for real
+#   customers_without_orders, rich_idle_customers — same vacuous-green
+#                            class: every synthetic customer has an
+#                            order, so their NOT EXISTS anti-joins
+#                            matched on 0 rows in round 1. Both are
+#                            re-scoped (urgent-orders / recent-orders
+#                            predicates) to have real survivors, and
+#                            deferred so their re-entry does not
+#                            displace the K-family round-4 window
+#                            (catalog_relational registers before the
+#                            K modules).
 DEFER_FROM_WINDOW: tuple[str, ...] = (
     "priority_grouping_sets",
     "scd2_intervals",
     "item_pagerank",
+    "media_dedup_groups",
+    "customers_without_orders",
+    "rich_idle_customers",
 )
 
 def driver_green() -> frozenset[str]:
@@ -118,7 +137,6 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "user_type_value_map",
         "viewed_vs_purchased_items",
         "media_inventory",
-        "media_dedup_groups",
         "pricing_summary",
         "top_customers",
         "regional_revenue",
@@ -127,7 +145,6 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "returned_items_by_nation",
         "customer_order_gaps",
         "order_priority_exists",
-        "customers_without_orders",
         "priority_shipmode_counts",
         "promo_revenue_ratio",
         "small_quantity_orders",
@@ -143,7 +160,6 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "brand_supplier_counts",
         "heavy_part_suppliers",
         "sole_latest_shipper",
-        "rich_idle_customers",
     }
 )
 

@@ -36,7 +36,10 @@ def test_driver_green_reads_correctness_files():
     from post_modern_stack_spark.plans import entryflow
 
     green = entryflow.driver_green()
-    assert "sessionize" in green and "rich_idle_customers" in green
+    # top_customers: green in round 1 with nonzero rows (unlike the
+    # vacuous 0-row greens, which driver_green must NOT count)
+    assert "sessionize" in green and "top_customers" in green
+    assert "rich_idle_customers" not in green  # 0-row green = vacuous
     names = list(m.queries())
     assert names[0] == "sessionize"
     seen_green_tail = False
