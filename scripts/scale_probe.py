@@ -301,7 +301,13 @@ def probe_queries(spark, path: str):
         return pagerank(edges, iters=3, broadcast_ranks=True)
 
     def rolling_zscore():
+        # the shipped integer-exact form (catalog_windows
+        # rolling_zscore_anomalies): frame sums of cents + cents²,
+        # membership via 3·D² > 14·M — two integer SUM frames replace
+        # avg+stddev_samp float frames
         from pyspark.sql import Window
+
+        from post_modern_stack_spark.functions.core import cents
 
         ev = load()
         w = (
@@ -309,15 +315,23 @@ def probe_queries(spark, path: str):
             .orderBy("ts_ns", "event_id")
             .rowsBetween(-6, Window.currentRow)
         )
+        c0 = cents("value")
         scored = ev.select(
             "event_id", "user_id", "value",
             F.count(F.lit(1)).over(w).alias("n_frame"),
-            F.avg("value").over(w).alias("mu"),
-            F.stddev_samp("value").over(w).alias("sd"),
+            F.sum(c0).over(w).alias("s1"),
+            F.sum(c0 * c0).over(w).alias("s2"),
+            c0.alias("c0"),
+        ).filter(F.col("n_frame") == 7)
+        exact = scored.select(
+            "event_id", "user_id", "value",
+            (7 * F.col("c0") - F.col("s1")).alias("d"),
+            (7 * F.col("s2") - F.col("s1") * F.col("s1")).alias("m"),
+            "s1",
         )
-        z = (F.col("value") - F.col("mu")) / F.col("sd")
-        return scored.filter(
-            (F.col("n_frame") == 7) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+        z = (F.col("value") - F.col("s1") / 700.0) / F.sqrt(F.col("m") / 420000.0)
+        return exact.filter(
+            (F.col("m") > 0) & (3 * F.col("d") * F.col("d") > 14 * F.col("m"))
         ).select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
 
     def winsorize_by_type():
