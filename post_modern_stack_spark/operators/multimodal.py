@@ -55,6 +55,14 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+# extract_features(on_error="null") schema: features is null for rows
+# whose decode failed, and decode_error carries the exception text —
+# the PERMISSIVE-mode contract (corrupt files surface as data, never
+# as task failures).
+FEATURES_PERMISSIVE_SCHEMA = T.StructType(
+    FEATURES_SCHEMA.fields + [T.StructField("decode_error", T.StringType(), True)]
+)
+
 
 def decode_bmp(content: bytes):
     """REAL decoder for uncompressed 24-bit BMP (pure numpy — no
@@ -723,30 +731,54 @@ def _decode_and_featurize(content: bytes, kind: str, require_real_codecs: bool):
 
 
 def extract_features(
-    media: DataFrame, require_real_codecs: bool = False
+    media: DataFrame, require_real_codecs: bool = False, on_error: str = "raise"
 ) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas`` (Arrow batch
-    transfer, iterator API — constant memory per task)."""
+    transfer, iterator API — constant memory per task).
+
+    ``on_error`` (the PERMISSIVE-mode contract, mirroring Spark's JSON
+    reader): ``"raise"`` keeps strict semantics — any malformed byte
+    stream fails the task (right for codec-verification pipelines over
+    bytes you produced). ``"null"`` catches per-row decode errors and
+    emits (features=null, decode_error=<message>) instead: at corpus
+    scale one corrupt file in a billion must surface as a DATA row a
+    downstream filter can count/quarantine, never as a dead executor
+    task 6 hours into the job. Identity/bookkeeping columns (n_bytes,
+    content_sha) are still computed for failed rows, so quarantined
+    files remain addressable for dedup/audit."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    permissive = on_error == "null"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_and_featurize(c, k, require_real_codecs)
-                for c, k in zip(pdf["content"], pdf["kind"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(c or b"") for c in pdf["content"]],
-                    "content_sha": [
-                        hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
-                    ],
-                    "features": feats,
-                }
-            )
+            feats: list = []
+            errs: list = []
+            for c, k in zip(pdf["content"], pdf["kind"]):
+                if not permissive:
+                    feats.append(_decode_and_featurize(c, k, require_real_codecs))
+                    continue
+                try:
+                    feats.append(_decode_and_featurize(c, k, require_real_codecs))
+                    errs.append(None)
+                except Exception as e:  # corrupt bytes -> data, not task death
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:512])
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(c or b"") for c in pdf["content"]],
+                "content_sha": [
+                    hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                ],
+                "features": feats,
+            }
+            if permissive:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    schema = FEATURES_PERMISSIVE_SCHEMA if permissive else FEATURES_SCHEMA
+    return media.mapInPandas(run, schema)
 
 
 FRAMES_SCHEMA = T.StructType(

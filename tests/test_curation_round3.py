@@ -617,6 +617,86 @@ def test_container_parsers_never_crash_on_fuzz():
     assert info["container"] == "mp4" and info["duration_ms"] == 0
 
 
+def test_container_parsers_never_crash_on_structured_fuzz():
+    """Raw-byte fuzz almost never synthesizes a VALID size/type chain,
+    so it exercised only the outermost guards — the round-3 v1-mvhd
+    crash lived three branches deep, behind a well-formed ftyp+moov
+    wrapper. This fuzzer builds syntactically-plausible ISO-BMFF box
+    trees (known types, version 0/1 full-box headers, 64-bit
+    largesize) whose sizes sometimes LIE (short, overlong, truncated
+    mid-body), plus MP3 streams with all 16 bitrate / 4 samplerate
+    index combinations and corrupt ID3 sizes — the deep-branch shapes
+    untrusted corpora actually contain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from post_modern_stack_spark.operators.multimodal import (
+        parse_mp3_info,
+        parse_mp4_info,
+    )
+
+    box_types = [b"ftyp", b"moov", b"mvhd", b"trak", b"tkhd", b"mdia",
+                 b"mdhd", b"stbl", b"free", b"mdat", b"wide", b"uuid"]
+
+    @st.composite
+    def box(draw, depth=0):
+        typ = draw(st.sampled_from(box_types))
+        if typ in (b"moov", b"trak", b"mdia", b"stbl") and depth < 2:
+            body = b"".join(draw(st.lists(box(depth=depth + 1), max_size=3)))
+        else:
+            ver = draw(st.sampled_from([0, 1, 2, 255]))
+            body = bytes([ver]) + draw(st.binary(max_size=40))
+        size = len(body) + 8
+        lie = draw(st.sampled_from(["honest", "short", "long", "largesize"]))
+        if lie == "short":
+            size = draw(st.integers(min_value=0, max_value=size))
+        elif lie == "long":
+            size += draw(st.integers(min_value=1, max_value=64))
+        elif lie == "largesize":
+            return (
+                (1).to_bytes(4, "big") + typ + (len(body) + 16).to_bytes(8, "big") + body
+            )
+        return size.to_bytes(4, "big") + typ + body
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(box(), min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=60),
+    )
+    def run_mp4(boxes, cut):
+        data = b"".join(boxes)
+        data = data[: max(len(data) - cut, 0)]  # truncate mid-body
+        info = parse_mp4_info(data)
+        assert info["duration_ms"] >= 0 and info["n_units"] >= 0
+
+    run_mp4()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=3),   # version bits
+        st.integers(min_value=0, max_value=3),   # layer bits
+        st.integers(min_value=0, max_value=15),  # bitrate index (15 = bad)
+        st.integers(min_value=0, max_value=3),   # samplerate index (3 = bad)
+        st.booleans(),                           # padding
+        st.binary(max_size=64),                  # payload / trailing junk
+        st.binary(min_size=0, max_size=12),      # ID3 size field bytes
+    )
+    def run_mp3(ver, layer, br, sr, pad, tail, id3sz):
+        hdr = bytes(
+            [0xFF, 0xE0 | (ver << 3) | (layer << 1), (br << 4) | (sr << 2) | (pad << 1), 0]
+        )
+        for data in (
+            hdr + tail,
+            b"ID3" + id3sz + hdr + tail,  # corrupt/short ID3 header
+            hdr + hdr + tail,             # back-to-back frames
+        ):
+            info = parse_mp3_info(data)
+            assert info["duration_ms"] >= 0 and info["n_units"] >= 0
+            assert info["bitrate_kbps"] >= 0
+
+    run_mp3()
+
+
 def test_table_diff_classifies_changes(spark, tmp_path):
     from post_modern_stack_spark.sources.merge import VersionedKeyedTable, table_diff
 

@@ -124,6 +124,53 @@ def test_extract_features_real_codecs_through_spark(spark):
     )
 
 
+def test_extract_features_permissive_quarantines_corrupt_bytes(spark):
+    """on_error='null': corrupt payloads become (features=null,
+    decode_error=...) DATA rows — a billion-file corpus must not lose
+    a 6-hour task to one truncated PNG — while healthy rows in the
+    same batch still decode for real, and bookkeeping columns
+    (n_bytes, content_sha) stay populated on failed rows so the
+    quarantine stays addressable for dedup/audit."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    good = mm.encode_bmp(img)
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 12  # magic ok, body garbage
+    rows = [
+        Row(media_id=1, kind="image", content=bytearray(good),
+            mime="image/bmp", width=6, height=8, duration_ms=None),
+        Row(media_id=2, kind="image", content=bytearray(corrupt_png),
+            mime="image/png", width=None, height=None, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in mm.extract_features(
+            media, require_real_codecs=True, on_error="null"
+        ).collect()
+    }
+    assert np.allclose(got[1]["features"], mm.image_features(img), atol=1e-5)
+    assert got[1]["decode_error"] is None
+    assert got[2]["features"] is None
+    assert got[2]["decode_error"]  # carries the exception text
+    assert got[2]["n_bytes"] == len(corrupt_png)
+    assert got[2]["content_sha"] == hashlib.sha256(corrupt_png).hexdigest()
+
+    # strict mode unchanged: same corrupt row kills the job
+    import pytest
+
+    with pytest.raises(Exception):
+        mm.extract_features(media, require_real_codecs=True).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        mm.extract_features(media, on_error="skip")
+
+
 def test_resize_media_real_roundtrip(spark):
     """resize_media: decode→NN-resize→re-encode through Spark; the
     resized BMP decodes back to exactly the numpy-side index-map
