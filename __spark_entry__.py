@@ -37,37 +37,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window of ~50 queries, so every oracle-checkable entry is listed
     before the rows-only (hash/seed/model-dependent) ones.
     """
-    WINDOW = 50  # observed driver correctness-window size (r01/r03)
-
     qs = entryflow.QUERIES
     defer = set(entryflow.DEFER_FROM_WINDOW)
     green = entryflow.driver_green()
 
-    never_checked_paired = [
-        n for n in qs if n not in green and n in entryflow.ORACLES
-    ]
-    # Deferral exists only to keep near-duplicate shapes from
-    # displacing never-checked families while the window is
-    # oversubscribed. The moment everything fits in one window
-    # (sessionize anchor included), release the deferred names so no
-    # future round has to remember to un-defer them.
-    if len(never_checked_paired) + 1 <= WINDOW:
-        defer = set()
-
     def bucket(n: str) -> int:
         # 0: flagship smoke anchor
         # 1: never-driver-checked, oracle-paired (hard hash gate)
-        # 2: never-driver-checked, rows-only (weaker driver check)
-        # 3: near-duplicate shapes explicitly deferred from the window
+        # 2: deferred never-checked paired — ranked after EVERY
+        #    non-deferred bucket-1 entry (so deferral can never
+        #    displace a never-checked family from the window) but
+        #    before rows-only entries: leftover window capacity fills
+        #    with hash-gated queries automatically, no manual
+        #    un-defer in any later round
+        # 3: never-driver-checked, rows-only (weaker driver check)
         # 4: already green in a prior CORRECTNESS_r{N}.json (pytest
-        #    oracle sweep still covers these every round)
+        #    oracle sweep still covers these every round) — checked
+        #    before defer so a verified deferred name stops occupying
+        #    window-adjacent slots
         if n == "sessionize":
             return 0
-        if n in defer:
+        if n in green:
+            return 4
+        if n not in entryflow.ORACLES:
             return 3
-        if n not in green:
-            return 1 if n in entryflow.ORACLES else 2
-        return 4
+        return 2 if n in defer else 1
 
     ordered = sorted(qs, key=lambda n: (bucket(n), list(qs).index(n)))
     return {n: qs[n] for n in ordered}

@@ -19,14 +19,13 @@ from post_modern_stack_spark.registry import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# Oracle-paired queries to list AFTER the driver's bounded correctness
-# window when the window is full. Only near-duplicates of another
-# in-window shape (or late-paired queries that would displace a
-# never-checked family) belong here; deferred queries stay
-# oracle-paired and are verified by the pytest oracle sweep instead.
-# __spark_entry__.queries() auto-releases this list back into the
-# verification window as soon as everything fits, so no round has to
-# remember to un-defer.
+# Oracle-paired queries ranked BEHIND every non-deferred never-checked
+# paired query (but ahead of rows-only entries). Only near-duplicates
+# of another in-window shape (or late-paired queries that would
+# displace a never-checked family) belong here; deferred queries stay
+# oracle-paired and are verified by the pytest oracle sweep meanwhile.
+# Leftover driver-window capacity fills with deferred names
+# automatically, so no round has to remember to un-defer.
 #
 # Round 4 (VERDICT round-3 items 1/4/5): defer true twins whose
 # sibling shape is already covered, keeping the round-4 window on the
