@@ -81,12 +81,17 @@ def run_nep_flow(
     end_date: str,
     train_frac: float = 0.9,
     max_len: int = MAX_LEN,
+    resume: bool = False,
 ) -> dict:
-    """Execute the full flow; returns stage artifacts + metric rows."""
+    """Execute the full flow; returns stage artifacts + metric rows.
+
+    ``resume=True`` (Metaflow ``resume`` parity): stages whose
+    checkpoint is already complete under this run_id are read back
+    instead of recomputed — see ``PipelineRunner``."""
     # start (I2): fail-fast validation + engine probe
     info = validate_start(spark, [], start_date, end_date)
 
-    runner = PipelineRunner(spark, run_dir, run_id)
+    runner = PipelineRunner(spark, run_dir, run_id, resume=resume)
     reg = build_registry()
     runner.write_manifest(reg.manifest())
 
@@ -147,6 +152,7 @@ def run_nep_flow(
         "run_dir": runner.base,
         "stages": [r.name for r in runner.results],
         "stage_rows": {r.name: r.rows for r in runner.results},
+        "resumed_stages": [r.name for r in runner.results if r.resumed],
         "manifest": reg.manifest(),
         "metrics": dict(metric_rows),
     }

@@ -92,16 +92,43 @@ class StageResult:
     name: str
     path: str
     rows: int | None = None
+    resumed: bool = False
 
 
 class PipelineRunner:
-    """Linear DAG with parquet checkpoints (I1; Metaflow step parity)."""
+    """Linear DAG with parquet checkpoints (I1; Metaflow step parity).
 
-    def __init__(self, spark: SparkSession, run_dir: str, run_id: str) -> None:
+    ``resume=True`` is Metaflow's ``resume`` semantics (reference
+    README.md run instructions): a stage whose artifact already exists
+    COMPLETE under this run_id is read back instead of recomputed —
+    the write is skipped, upstream lineage stays lazy and unexecuted,
+    and the recorded row count is replayed from the stage's metadata
+    sidecar. Completeness = Hadoop ``_SUCCESS`` marker + the sidecar;
+    a partially-written artifact (killed mid-write) has neither and
+    recomputes. At 100 TB this is the difference between re-running a
+    6-hour ingest and skipping straight to the failed stage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        run_id: str,
+        resume: bool = False,
+    ) -> None:
         self.spark = spark
         self.run_id = run_id
         self.base = os.path.join(run_dir, run_id)
+        self.resume = resume
         self.results: list[StageResult] = []
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.base, f"{name}.meta.json")
+
+    def _complete(self, name: str) -> bool:
+        path = os.path.join(self.base, name)
+        return os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            self._meta_path(name)
+        )
 
     def checkpoint(self, name: str, df: DataFrame) -> DataFrame:
         """Write a stage artifact and return the re-read DataFrame (so
@@ -113,14 +140,22 @@ class PipelineRunner:
         Metaflow-card metrics analog; at 100 TB a free byproduct vs a
         full re-scan)."""
         path = os.path.join(self.base, name)
+        if self.resume and self._complete(name):
+            with open(self._meta_path(name)) as f:
+                rows = json.load(f)["rows"]
+            self.results.append(StageResult(name, path, rows, resumed=True))
+            return self.spark.read.parquet(path)
         from pyspark.sql import Observation
 
         obs = Observation(f"stage:{name}")
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         ).parquet(path)
+        rows = obs.get["rows"]
+        with open(self._meta_path(name), "w") as f:
+            json.dump({"stage": name, "rows": rows}, f)
         out = self.spark.read.parquet(path)
-        self.results.append(StageResult(name, path, obs.get["rows"]))
+        self.results.append(StageResult(name, path, rows))
         return out
 
     def write_manifest(self, manifest: dict) -> str:

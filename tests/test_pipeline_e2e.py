@@ -164,6 +164,44 @@ def test_full_nep_flow(spark, raw_log, tmp_path):
     assert all(r["y_label"] == r["y_enc"] - 1 for r in row.values())
 
 
+def test_resume_skips_completed_stages(spark, raw_log, tmp_path):
+    """Metaflow ``resume`` parity (I1): a second run under the same
+    run_id with resume=True reads every complete checkpoint back
+    instead of recomputing — artifacts untouched on disk, recorded row
+    counts replayed from the stage metadata sidecars, and the final
+    outputs identical. A fresh run_id still computes everything."""
+    import os
+
+    raw = ingest.read_raw_events(spark, raw_log)
+    kw = dict(api_key=API_A, start_date="2019-01-01", end_date="2019-03-14")
+    out1 = run_nep_flow(spark, raw, str(tmp_path), "run-res", **kw)
+    assert out1["resumed_stages"] == []
+
+    def artifact_mtimes():
+        seen = {}
+        for stage in out1["stages"]:
+            d = os.path.join(out1["run_dir"], stage)
+            seen[stage] = {
+                f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+            }
+        return seen
+
+    before = artifact_mtimes()
+    out2 = run_nep_flow(spark, raw, str(tmp_path), "run-res", resume=True, **kw)
+    assert out2["resumed_stages"] == out1["stages"]
+    assert out2["stage_rows"] == out1["stage_rows"]
+    assert out2["metrics"] == out1["metrics"]
+    assert artifact_mtimes() == before, "resume must not rewrite artifacts"
+
+    # a stage with no complete checkpoint recomputes: delete the
+    # _SUCCESS marker of one stage and resume again
+    victim = out1["stages"][1]
+    os.remove(os.path.join(out1["run_dir"], victim, "_SUCCESS"))
+    out3 = run_nep_flow(spark, raw, str(tmp_path), "run-res", resume=True, **kw)
+    assert victim not in out3["resumed_stages"]
+    assert out3["stage_rows"] == out1["stage_rows"]
+
+
 def test_stage_rows_observed_without_extra_jobs(spark, raw_log, tmp_path):
     """I-family observability: every checkpoint records its row count
     via df.observe (accumulated during the write, no second count job)
