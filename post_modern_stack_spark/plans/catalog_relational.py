@@ -2002,34 +2002,16 @@ def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler (the warehouse `SUMMARIZE` / dbt-docs stats
-    pass): null count, exact distinct count, min/max per column — ONE
-    scan computes every column's measures in a single hash-agg row
-    (count(DISTINCT x, y, z) expands to one Expand pass, not one scan
-    per column), then `stack` unpivots to the long (column, measure)
-    report. Numerics profile as strings so the report schema is
-    column-type-independent."""
+    pass): null count, exact distinct count, min/max per column — the
+    catalog/oracle instance of ``operators/profile.summarize`` (one
+    Expand-pass scan, see that module for the 100 TB shape)."""
+    from post_modern_stack_spark.operators.profile import summarize
+
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_discount", "l_returnflag", "l_linestatus"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        p = c[2]  # unique prefix letter per profiled column
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{p}_nulls"),
-            F.countDistinct(c).alias(f"{p}_distinct"),
-            # min/max on the NATIVE type, cast the RESULT — casting the
-            # column first would rank doubles lexicographically
-            F.min(c).cast("string").alias(f"{p}_min"),
-            F.max(c).cast("string").alias(f"{p}_max"),
-        ]
-    one = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c[2]}_nulls, {c[2]}_distinct, {c[2]}_min, {c[2]}_max"
-        for c in cols
+    return summarize(li, cols).select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
     )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct, min_s, max_s)",
-        "n_rows",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
 
 
 @query(
