@@ -129,6 +129,27 @@ def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
     return key
 
 
+def _bucket_by_cutpoints(col: F.Column, cuts: list[float]) -> F.Column:
+    """Bucket id = number of (sorted) cutpoints ≤ value, as a BINARY
+    when-tree: log2(n) codegen'd comparisons per row instead of a
+    linear n-element HOF scan (measured 10M rows × 2 cols × 255 cuts:
+    linear interpreted HOF 41 s, this tree is comparison-count-bound).
+    Duplicate cutpoints (skew plateaus) are fine — equal keys collapse
+    into the same branch."""
+
+    def tree(lo: int, hi: int) -> F.Column:
+        # bucket for values known to satisfy cuts[lo-1] <= v < cuts[hi]
+        if lo == hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi + 1) // 2
+        return (
+            F.when(col >= F.lit(float(cuts[mid - 1])), tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        )
+
+    return tree(0, len(cuts))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -176,13 +197,7 @@ def write_zordered(
     for c in zorder_cols:
         rc = f"__zr_{c}"
         if approx:
-            arr = F.array(*[F.lit(float(b)) for b in sorted(cuts[c])])
-            bucket = F.aggregate(
-                arr,
-                F.lit(0).cast("long"),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-            )
+            bucket = _bucket_by_cutpoints(F.col(c).cast("double"), sorted(cuts[c]))
             # NULLs cluster first (bucket 0), like ntile's null-first sort
             ranked = ranked.withColumn(rc, F.coalesce(bucket, F.lit(0)))
         else:
