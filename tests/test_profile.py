@@ -46,6 +46,22 @@ def test_summarize_subset_errors_and_empty(spark):
     assert r["min_s"] is None and r["max_s"] is None
 
 
+def test_summarize_approx_mode(spark):
+    """exact=False: HLL distinct counts land within the sketch's error
+    band, null/min/max stay exact, and the plan loses the Expand — the
+    whole profile becomes one map-side-combined aggregate."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    got = {r["column"]: r for r in summarize(df, exact=False).collect()}
+    assert abs(got["k"]["n_distinct"] - 1000) <= 1000 * 0.08  # 5% rsd sketch
+    assert abs(got["v"]["n_distinct"] - 20_000) <= 20_000 * 0.08
+    assert (got["k"]["min_s"], got["k"]["max_s"]) == ("0", "999")  # still exact
+    assert all(r["n_nulls"] == 0 and r["n_rows"] == 20_000 for r in got.values())
+    plan = summarize(df, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
 def test_summarize_is_single_scan(spark):
     """All columns profile in ONE aggregate over ONE scan: the plan
     holds exactly one parquet/LocalTableScan-free aggregate chain with
