@@ -85,6 +85,11 @@ def main() -> None:
             try:
                 samples[name].append(run_once(name))
             except Exception as e:  # a broken query must not sink the bench
+                # stop sampling it, but KEEP any earlier good samples:
+                # only a query with zero successful runs reports -1 —
+                # discarding a recorded 6 s success because a LATER
+                # sweep hit transient host trouble would shrink the
+                # headline exactly because something broke
                 failed.add(name)
                 failed_elapsed += time.perf_counter() - t0
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
@@ -100,8 +105,6 @@ def main() -> None:
         return sorted(vals)[len(vals) // 2]
 
     timings = {n: estimate(v) for n, v in samples.items()}
-    for n in failed:
-        timings[n] = -1.0
 
     total = round(sum(t for t in timings.values() if t > 0) + failed_elapsed, 3)
 

@@ -148,6 +148,27 @@ def cents(col: Column | str, scale: int = 100) -> Column:
     return F.round(c * scale).cast("long")
 
 
+def sum128(expr: Column) -> Column:
+    """int128-exact SUM for PRODUCTS of cents-scaled integers.
+
+    A per-row product of two or three cent factors fits int64 easily
+    (price_c·(100−disc_c)·(100+tax_c) ≤ ~1.13e11), but the GROUP sum
+    overflows int64 near 8.2e7 rows/group for the triple product
+    (8.8e9 for the double product) — reached by a 100 TB lineitem with
+    a handful of groups. A long F.sum there kills the job under Spark
+    4's ANSI default (runtime ARITHMETIC_OVERFLOW, hours into the run)
+    and silently wraps negative with ANSI off, while DuckDB widens
+    BIGINT sums to HUGEINT (int128) automatically — so the engines
+    diverge (or the job dies) exactly where the cents discipline
+    promises determinism. Summing as decimal(38,0) keeps Spark exact to 1e38
+    (~1e26 rows/group) at the cost of an int128 accumulator; the
+    result converts to double ONCE (deterministic nearest — the same
+    conversion DuckDB applies to a HUGEINT in float context), so every
+    downstream division/rounding stays bit-identical to the oracle.
+    """
+    return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+
 def exact_avg(col: Column | str, decimals: int = 4, scale: int = 100) -> Column:
     """Order-independent average of a fixed-point double column.
 

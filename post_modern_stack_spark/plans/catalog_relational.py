@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from post_modern_stack_spark.functions.core import cents
+from post_modern_stack_spark.functions.core import cents, sum128
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -52,9 +52,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money aggregates run on exact integer cents (``functions.core.
     cents``): double sums of 2dp/4dp/6dp fixed-point totals depend on
     partial-merge order and can flip a boundary rounding between runs
-    (NOTES_r5 landmine); integer sums are order-independent and exact
-    to int64 range. l_quantity is integer-valued, so its double sum is
-    already exact (< 2^53).
+    (NOTES_r5 landmine); integer sums are order-independent and exact.
+    PRODUCT sums (disc_price, charge) accumulate as decimal(38,0)
+    int128 (``functions.core.sum128``): per-row products fit int64 but
+    a 100 TB group sum does not (triple product overflows long near
+    8e7 rows/group — an ANSI runtime ARITHMETIC_OVERFLOW on Spark,
+    where DuckDB widens to HUGEINT). l_quantity is integer-valued, so
+    its double sum is already exact (< 2^53).
     """
     li = load_table(spark, sf_dir, "lineitem")
     price_c, disc_c, tax_c = (
@@ -68,11 +72,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias(
+            F.round(sum128(price_c * (100 - disc_c)) / 10000.0, 2).alias(
                 "sum_disc_price"
             ),
             F.round(
-                F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
+                sum128(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.sum(price_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
@@ -179,7 +183,7 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # exact cents math: see pricing_summary / functions.core.cents
             F.round(
-                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                sum128(cents("l_extendedprice") * (100 - cents("l_discount")))
                 / 10000.0,
                 2,
             ).alias("revenue"),
@@ -259,7 +263,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                sum128(cents("l_extendedprice") * (100 - cents("l_discount")))
                 / 10000.0,
                 2,
             ).alias("revenue")
@@ -310,7 +314,7 @@ def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                sum128(cents("l_extendedprice") * (100 - cents("l_discount")))
                 / 10000.0,
                 2,
             ).alias("lost_revenue"),
@@ -493,8 +497,8 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(promo, rev_c).otherwise(F.lit(0).cast("long")))
-                / F.sum(rev_c),
+                * sum128(F.when(promo, rev_c).otherwise(F.lit(0).cast("long")))
+                / sum128(rev_c),
                 4,
             ).alias("promo_pct")
         )
@@ -721,7 +725,7 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
     ).agg(
         F.round(
-            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+            sum128(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
         ).alias(
             "revenue"
         )
@@ -878,10 +882,10 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold compare is between deterministic doubles — membership
     # cannot flip on merge-order drift on either engine
     per_part = li.groupBy("l_partkey").agg(
-        F.round(F.sum(value_c) / 10000.0, 2).alias("__v")
+        F.round(sum128(value_c) / 10000.0, 2).alias("__v")
     )
     total = li.agg(
-        F.round(F.sum(value_c) / 10000.0 * F.lit(0.0005), 2).alias("__threshold")
+        F.round(sum128(value_c) / 10000.0 * F.lit(0.0005), 2).alias("__threshold")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -929,7 +933,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.round(
-            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+            sum128(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
         ).alias(
                 "total_revenue"
             )
@@ -1352,7 +1356,7 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                sum128(cents("l_extendedprice") * (100 - cents("l_discount")))
                 / 10000.0,
                 2,
             ).alias("revenue"),
@@ -1392,7 +1396,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0, 2
+                sum128(cents("l_extendedprice") * cents("l_discount")) / 10000.0, 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1466,12 +1470,12 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                sum128(
                     F.when(F.col("s_nation") == "NATION_4", F.col("volume_c")).otherwise(
                         F.lit(0).cast("long")
                     )
                 )
-                / F.sum("volume_c"),
+                / sum128(F.col("volume_c")),
                 6,
             ).alias("mkt_share")
         )
@@ -1530,7 +1534,7 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         joined.select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount") / 10000.0, 2).alias("sum_profit"))
+        .agg(F.round(sum128(F.col("amount")) / 10000.0, 2).alias("sum_profit"))
     )
 
 
@@ -1607,7 +1611,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, on="l_orderkey", buckets=8)
     return joined.groupBy("o_orderstatus").agg(
         F.round(
-            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
+            sum128(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0, 2
         ).alias(
             "revenue"
         ),
@@ -1936,7 +1940,7 @@ def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot flip on merge-order float noise
     l = li.groupBy(F.col("l_orderkey").alias("okey_l")).agg(
         F.round(
-            F.sum(
+            sum128(
                 cents("l_extendedprice")
                 * (100 - cents("l_discount"))
                 * (100 + cents("l_tax"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from post_modern_stack_spark.operators.asof import asof_join
 from post_modern_stack_spark.operators.rangejoin import interval_join_buckets
-from post_modern_stack_spark.functions.core import cents
+from post_modern_stack_spark.functions.core import cents, sum128
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
 
@@ -319,7 +319,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact integer cents x ms weights: the weighted mean is a
             # ratio of exact integers (scaled by 100), so the rounding
             # is deterministic on both engines
-            F.round(F.sum(cents("value") * dur) / 100.0 / F.sum(dur), 4).alias(
+            F.round(sum128(cents("value") * dur) / 100.0 / F.sum(dur), 4).alias(
                 "twap"
             ),
             F.count(F.lit(1)).alias("n_intervals"),

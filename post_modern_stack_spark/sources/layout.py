@@ -154,7 +154,7 @@ def write_zordered(
     df: DataFrame,
     path: str,
     zorder_cols: list[str],
-    bits: int = 16,
+    bits: int | None = None,
     partitions: int | None = None,
     mode: str = "overwrite",
     approx: bool = False,
@@ -176,14 +176,18 @@ def write_zordered(
     the 100 TB path: rank-space cutpoints come from one
     ``approxQuantile`` sketch job (all columns in a single pass,
     ``rel_err`` accuracy) and each row's bucket is the count of
-    cutpoints crossed — an embarrassingly-parallel per-row expression,
-    NO global sort anywhere before the final range exchange. The
-    approximate path caps ``bits`` at 8 (256 rank buckets — ample for
-    file-level clustering, where file count ≪ 256²) because the
-    crossing count is a 2^bits-element HOF per column per row.
+    cutpoints crossed — a log2(2^bits) binary when-tree per row, an
+    embarrassingly-parallel expression with NO global sort anywhere
+    before the final range exchange. ``bits`` defaults per mode: 16
+    exact, 8 approx (256 rank buckets — ample for file-level
+    clustering, where file count ≪ 256²; the approx cap bounds the
+    2^bits−1 cutpoint literals each column's sketch must produce and
+    the when-tree must embed).
     """
     from pyspark.sql import Window
 
+    if bits is None:
+        bits = 8 if approx else 16
     levels = 1 << bits
     ranked = df
     rank_cols = []

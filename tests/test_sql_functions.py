@@ -69,6 +69,32 @@ def test_sql_functions_match_dataframe_twins(spark):
     assert sql_row["jmiss"] is None
 
 
+def test_sum128_survives_int64_overflow(spark):
+    """functions.core.sum128: group sums of cents PRODUCTS overflow
+    int64 at ~8e7 rows/group for the triple product. A long F.sum
+    there KILLS the job under Spark 4's ANSI default
+    (ARITHMETIC_OVERFLOW at runtime, hours in) and silently wraps
+    negative with ANSI off — both diverge from DuckDB's automatic
+    BIGINT→HUGEINT widening. The decimal(38,0) accumulator must return
+    the true total where the long sum fails."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.functions.core import sum128
+
+    per_row = 4_000_000_000_000_000_000  # 4e18: 3 rows overflow int64
+    df = spark.range(3).select(F.lit(per_row).cast("long").alias("v"))
+    # demonstrate the failure mode the helper exists for: ANSI raises,
+    # non-ANSI wraps negative — either way the long sum is unusable
+    try:
+        wrapped = df.agg(F.sum("v").alias("s")).collect()[0]["s"]
+        assert wrapped < 0
+    except Exception as e:
+        assert "OVERFLOW" in str(e).upper()
+    exact = df.agg(sum128(F.col("v")).alias("s")).collect()[0]["s"]
+    assert exact == float(3 * per_row)
+
+
 def test_cosine_sim_zero_vector_is_null(spark):
     r = spark.sql(
         "SELECT cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c"

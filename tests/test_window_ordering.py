@@ -4,11 +4,10 @@ tests pin the contract (VERDICT round-3 items 1/4):
 
 - never-driver-checked oracle-paired queries come first (after the
   sessionize smoke anchor), in registration order;
-- DEFER_FROM_WINDOW names sort behind rows-only entries while the
-  backlog is oversubscribed (they must not displace a never-checked
-  family);
-- the moment the whole never-checked-paired backlog fits one window,
-  deferral auto-releases — no manual un-defer in a later round;
+- DEFER_FROM_WINDOW names rank after EVERY non-deferred never-checked
+  paired query (so they can never displace a never-checked family)
+  but BEFORE rows-only entries — leftover window capacity fills with
+  hash-gated deferred queries automatically, no manual un-defer;
 - zero-row green rows (vacuous greens like round-3's
   sql_param_extract) do NOT count as driver-green.
 """
