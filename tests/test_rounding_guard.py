@@ -88,3 +88,26 @@ def test_no_unaudited_rounded_averages_spark():
         "functions.core.exact_avg (or justify + allowlist): "
         f"{bad}"
     )
+
+
+# ---------------------------------------------------------------------------
+# int64-overflow guard (round-4 review finding): a long F.sum over a
+# PRODUCT of cents factors overflows at 100 TB group sizes — ANSI
+# ARITHMETIC_OVERFLOW on Spark, HUGEINT widening on DuckDB. Such sums
+# must go through functions.core.sum128 (decimal(38,0) accumulator).
+# ---------------------------------------------------------------------------
+
+PRODUCT_SUM_RE = re.compile(r"F\.sum\(\s*cents\([^)]*\)\s*\*")
+
+
+def test_no_long_sums_of_cents_products():
+    bad = []
+    for path in sorted(list(PLANS.glob("*.py")) + list(OPERATORS.glob("*.py"))):
+        text = path.read_text()
+        for m in PRODUCT_SUM_RE.finditer(text):
+            line = text[: m.start()].count("\n") + 1
+            bad.append(f"{path.name}:{line}")
+    assert not bad, (
+        "long F.sum over a cents PRODUCT — overflows int64 at 100 TB "
+        f"group sizes; use functions.core.sum128: {bad}"
+    )
