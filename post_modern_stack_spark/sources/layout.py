@@ -150,6 +150,46 @@ def _bucket_by_cutpoints(col: F.Column, cuts: list[float]) -> F.Column:
     return tree(0, len(cuts))
 
 
+def _rank_normalize(
+    df: DataFrame,
+    cluster_cols: list[str],
+    bits: int,
+    approx: bool,
+    rel_err: float,
+    prefix: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared rank stage for the space-filling-curve writers: map each
+    cluster column into [0, 2^bits) rank space — exact ntile (one
+    global window per column; maintenance-job scale) or approx
+    (one multi-column approxQuantile sketch + binary when-tree per
+    row; the cluster-scale path, no global sort)."""
+    from pyspark.sql import Window
+
+    levels = 1 << bits
+    if approx:
+        if bits > 8:
+            raise ValueError("approx rank caps bits at 8 (256 rank buckets)")
+        probs = [i / levels for i in range(1, levels)]
+        cuts = dict(
+            zip(cluster_cols, df.stat.approxQuantile(cluster_cols, probs, rel_err))
+        )
+    ranked = df
+    rank_cols = []
+    for c in cluster_cols:
+        rc = f"{prefix}{c}"
+        if approx:
+            bucket = _bucket_by_cutpoints(F.col(c).cast("double"), sorted(cuts[c]))
+            # NULLs cluster first (bucket 0), like ntile's null-first sort
+            ranked = ranked.withColumn(rc, F.coalesce(bucket, F.lit(0)))
+        else:
+            ranked = ranked.withColumn(
+                rc,
+                (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long"),
+            )
+        rank_cols.append(rc)
+    return ranked, rank_cols
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -184,32 +224,9 @@ def write_zordered(
     2^bits−1 cutpoint literals each column's sketch must produce and
     the when-tree must embed).
     """
-    from pyspark.sql import Window
-
     if bits is None:
         bits = 8 if approx else 16
-    levels = 1 << bits
-    ranked = df
-    rank_cols = []
-    if approx:
-        if bits > 8:
-            raise ValueError("approx zorder caps bits at 8 (256 rank buckets)")
-        probs = [i / levels for i in range(1, levels)]
-        cuts = dict(
-            zip(zorder_cols, df.stat.approxQuantile(zorder_cols, probs, rel_err))
-        )
-    for c in zorder_cols:
-        rc = f"__zr_{c}"
-        if approx:
-            bucket = _bucket_by_cutpoints(F.col(c).cast("double"), sorted(cuts[c]))
-            # NULLs cluster first (bucket 0), like ntile's null-first sort
-            ranked = ranked.withColumn(rc, F.coalesce(bucket, F.lit(0)))
-        else:
-            ranked = ranked.withColumn(
-                rc,
-                (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long"),
-            )
-        rank_cols.append(rc)
+    ranked, rank_cols = _rank_normalize(df, zorder_cols, bits, approx, rel_err, "__zr_")
     keyed = ranked.withColumn("__zkey", zorder_key(rank_cols, bits)).drop(*rank_cols)
     part = (
         keyed.repartitionByRange(partitions, "__zkey")
@@ -270,27 +287,24 @@ def write_hilbert(
     df: DataFrame,
     path: str,
     cluster_cols: list[str],
-    bits: int = 12,
+    bits: int | None = None,
     partitions: int | None = None,
     mode: str = "overwrite",
+    approx: bool = False,
+    rel_err: float = 0.001,
 ) -> None:
     """Hilbert-clustered parquet layout — the 2-D sibling of
     ``write_zordered`` with the same rank-normalize → key → range
-    partition → sort pipeline (see that docstring for the 100 TB
-    approximate-rank variant)."""
-    from pyspark.sql import Window
-
+    partition → sort pipeline, including the same ``approx=True``
+    cluster-scale rank stage (sketch cutpoints + when-tree, no global
+    ntile sort). ``bits`` defaults per mode: 12 exact, 8 approx."""
     if len(cluster_cols) != 2:
         raise ValueError("hilbert layout is 2-D; use write_zordered for N dims")
-    levels = 1 << bits
-    ranked = df
-    rank_cols = []
-    for c in cluster_cols:
-        rc = f"__hr_{c}"
-        ranked = ranked.withColumn(
-            rc, (F.ntile(levels).over(Window.orderBy(F.col(c))) - 1).cast("long")
-        )
-        rank_cols.append(rc)
+    if bits is None:
+        bits = 8 if approx else 12
+    ranked, rank_cols = _rank_normalize(
+        df, cluster_cols, bits, approx, rel_err, "__hr_"
+    )
     keyed = with_hilbert_key(ranked, *rank_cols, bits=bits).drop(*rank_cols)
     part = (
         keyed.repartitionByRange(partitions, "__hkey")

@@ -511,6 +511,18 @@ def test_write_hilbert_clusters_both_dims(spark, tmp_path):
     with pytest.raises(ValueError):
         write_hilbert(df, out, ["a"], bits=6)
 
+    # approx rank stage (shared with write_zordered): same clustering
+    # payoff without any global ntile sort
+    out2 = str(tmp_path / "hilbert_approx")
+    write_hilbert(df, out2, ["a", "b"], bits=6, partitions=16, approx=True)
+    files2 = glob.glob(out2 + "/*.parquet")
+    spans2 = []
+    for f in files2:
+        r = spark.read.parquet(f).agg(F.min("b"), F.max("b")).collect()[0]
+        spans2.append(r[1] - r[0])
+    assert sum(spans2) / len(spans2) < 32
+    assert spark.read.parquet(out2).count() == n
+
 
 def test_jsonl_gz_sink_two_phase_commit(spark, tmp_path):
     """Custom Python DataSource WRITER: shards are gzip JSONL, rows
