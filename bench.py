@@ -3,10 +3,14 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` = sum of per-query best times over the sweep (the driver's
-headline number, compared against BASELINE.md round over round); a
-failed query reports -1 in ``queries`` but its elapsed time still
-counts toward ``value`` so breakage never reads as a speedup.
+``value`` = sum of per-query MEDIAN times over up to REPS sweeps (the
+driver's headline number, compared against BASELINE.md round over
+round); a query with zero successful runs reports -1 in ``queries``
+but its elapsed time still counts toward ``value`` so breakage never
+reads as a speedup. Any query that failed in ANY sweep (even after an
+earlier success) is listed in the ``failed`` arrays of both the
+printed line and BENCH_DETAIL.json, so late-sweep breakage is visible
+in the recorded artifact, not just on stderr.
 Each query is executed to completion via a noop-sink terminal action
 (``df.write.format("noop")`` so results are fully materialized without
 driver collection overhead).
@@ -21,6 +25,12 @@ cumulative wall clock stays under EXTRA_SWEEP_BUDGET_SEC, so a
 pathologically noisy host degrades to fewer samples per query instead
 of blowing the driver's timeout. With 2 samples the min is reported
 (the median of 2 is a mean — worse under one-sided noise).
+
+Sweeps 2+ visit queries SLOWEST-FIRST (by sweep-1 time): when the
+budget cuts sampling short, the median-of-3 guarantee lands on the
+heavy queries, where a single noisy sample distorts the headline most
+(VERDICT round-4 item 7 — `kmeans_assign`'s 2× flag was partly a
+budget-starved-sampling artifact).
 """
 
 from __future__ import annotations
@@ -71,7 +81,16 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in qs}
     failed: set[str] = set()
     for sweep in range(REPS):
-        for name in qs:
+        if sweep == 0:
+            order = list(qs)
+        else:
+            # slowest-first: the budget guard below may truncate this
+            # sweep, and heavy queries need the extra samples most
+            order = sorted(
+                (n for n in qs if samples[n]),
+                key=lambda n: -samples[n][0],
+            )
+        for name in order:
             if name in failed:
                 continue
             if sweep > 0 and time.perf_counter() - total0 > EXTRA_SWEEP_BUDGET_SEC:
@@ -122,6 +141,10 @@ def main() -> None:
         "queries": timings,
         "estimator": "per-query median of up to %d samples" % REPS,
         "samples": samples,
+        # queries that raised in ANY sweep — including ones with an
+        # earlier good sample (whose median still reports positive):
+        # late-sweep breakage must be visible in the artifact
+        "failed": sorted(failed),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -140,6 +163,8 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }
+    if failed:
+        line_obj["failed"] = sorted(failed)
     for name in sorted(timings, key=lambda n: -timings[n]):
         line_obj["queries"][name] = timings[name]
         if len(json.dumps(line_obj, separators=(",", ":"))) > 1800:

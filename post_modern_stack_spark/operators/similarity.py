@@ -600,11 +600,23 @@ def kmeans_lloyd(
     map-side combine collapses each partition to ≤ k×dim partials, so
     the shuffle is tiny regardless of corpus size. Only the k×dim
     centroid matrix is ever collected (the PageRank/logreg iterative
-    pattern). Init = deterministic farthest-point traversal (the
-    greedy k-means++ variant): seed with the lowest-id vector, then
-    k−1 distributed argmax-of-min-distance passes — lowest-id-block
+    pattern).
+
+    Init = k-means‖-style oversampling (Bahmani '12, VERDICT r04 item
+    2): ONE distributed pass scores every vector by squared distance
+    to the lowest-id seed and keeps the top max(16k, 256) under a
+    deterministic exponential race (ln(u)/d² with u derived from
+    xxhash64(id) — the A-ES weighted-sample-without-replacement key,
+    so selection is ∝ d² yet hash-reproducible across runs and
+    partitionings). Greedy farthest-point then runs driver-side over
+    that candidate set (≤256×k distance evals, microseconds). The
+    previous init ran k−1 SEQUENTIAL full-corpus argmax passes — 7
+    extra corpus scans for k=8 before Lloyd even started; this form
+    costs O(1) corpus passes with the same farthest-point character
+    (on small corpora the candidate set is the whole corpus minus the
+    seed, so the traversal is exactly the old one). Lowest-id-block
     init collapsed multiple centroids into one cluster on clustered
-    data.
+    data, which is why a spread-out init matters at all.
 
     Returns (assignments DataFrame [id, cluster], centroids ndarray).
     """
@@ -615,30 +627,45 @@ def kmeans_lloyd(
     first = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
     )
-    chosen = [np.asarray(first[0][1], dtype=np.float64)]
-    for _ in range(k - 1):
-        c = np.vstack(chosen)
+    seed = np.asarray(first[0][1], dtype=np.float64)
 
-        @pandas_udf("double")
-        def min_d2(emb: pd.Series) -> pd.Series:
-            mat = np.vstack(emb.to_numpy()).astype(np.float64)
-            d = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-            )
-            return pd.Series(d.min(axis=1))
+    @pandas_udf("double")
+    def d2_seed(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        d = mat - seed[None, :]
+        return pd.Series((d * d).sum(axis=1))
 
-        far = (
-            embeddings.select(id_col, vec_col, min_d2(F.col(vec_col)).alias("d2"))
-            .agg(
-                F.max_by(
-                    F.col(vec_col), F.struct(F.col("d2"), -F.col(id_col))
-                ).alias("v")
-            )
-            .collect()
+    n_cand = max(16 * k, 256)
+    mask = (1 << 52) - 1
+    u = (
+        F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(mask)) + F.lit(1)
+    ) / F.lit(float(mask) + 2.0)
+    cand_rows = (
+        embeddings.select(
+            id_col, vec_col, d2_seed(F.col(vec_col)).alias("d2")
         )
-        chosen.append(np.asarray(far[0]["v"], dtype=np.float64))
+        .filter(F.col("d2") > 0)
+        .select(id_col, vec_col, (F.log(u) / F.col("d2")).alias("skey"))
+        # TakeOrderedAndProject: per-partition top-n_cand, no global sort
+        .orderBy(F.desc("skey"), F.col(id_col))
+        .limit(n_cand)
+        .collect()
+    )
+    chosen = [seed]
+    if cand_rows:
+        cand = np.vstack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in cand_rows]
+        )
+        cand_ids = np.asarray([r[id_col] for r in cand_rows])
+        min_d2 = ((cand - seed[None, :]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            # farthest candidate from everything chosen; ties → lowest id
+            best = int(np.lexsort((cand_ids, -min_d2))[0])
+            chosen.append(cand[best].copy())
+            step = ((cand - cand[best][None, :]) ** 2).sum(axis=1)
+            np.minimum(min_d2, step, out=min_d2)
+    else:  # degenerate corpus: every vector equals the seed
+        chosen.extend([seed.copy() for _ in range(k - 1)])
     centroids = np.vstack(chosen)
 
     def assigner(cents):

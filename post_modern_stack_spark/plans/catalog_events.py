@@ -982,7 +982,8 @@ def q_item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) / count(value) AS avg_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                 / count(value), 4) AS avg_value
     FROM folded
     GROUP BY fold, event_type
     """,
@@ -1005,11 +1006,10 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            # sum-based avg: value is 2dp, so round(sum,2) removes
-            # partition-order float noise BEFORE the divide — a 4dp
-            # round of a noisy avg can flip at an exact boundary
-            # (NOTES_r5 landmine; VERDICT round-3 item 3)
-            (F.round(F.sum("value"), 2) / F.count("value")).alias("avg_value"),
+            # order-independent exact-cents mean (ADVICE r04: the
+            # round(sum,2)/count form relied on accumulated double
+            # error staying under half a cent in large groups)
+            core.exact_avg("value", 4).alias("avg_value"),
         )
     )
 

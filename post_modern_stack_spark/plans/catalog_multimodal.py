@@ -69,7 +69,7 @@ def q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text
+        SELECT -(doc_id + 1) AS doc_id, text
         FROM documents WHERE doc_id % 50 = 0
     )
     SELECT sha256(text) AS content_sha,
@@ -88,9 +88,13 @@ def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-1 green row vacuous (0 rows matched on both engines — the
     sha2 grouping itself was never value-checked). The corpus now
     plants deterministic exact copies (every doc_id % 50 == 0
-    re-ingested under an offset id — the re-crawl/re-upload scenario),
-    so dup groups exist at every SF and the digest values themselves
-    hash-compare.
+    re-ingested as -(doc_id+1) — the re-crawl/re-upload scenario), so
+    dup groups exist at every SF and the digest values themselves
+    hash-compare. Replay ids live in the negative namespace so they
+    can NEVER collide with real ids at any SF (ADVICE r04: a fixed
+    +1e6 offset collided once documents exceeded 1M rows); keeper
+    media_id = min(doc_id) is therefore always the replay id for
+    planted groups, which also makes them identifiable downstream.
 
     Exercises operators/multimodal.media_dedup unchanged: sha2 over
     the binary column groups JVM-side; only digests shuffle (32 bytes
@@ -100,7 +104,7 @@ def q_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionAll(
         docs.filter(F.col("doc_id") % 50 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
         )
     )
     media = _as_media(

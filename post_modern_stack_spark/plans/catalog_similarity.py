@@ -177,12 +177,14 @@ def q_ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_top_k(emb, queries, k=_K)
 
 
-def _lsh_oracle_sql(dim: int, bits: int, n_tables: int, scale: int) -> str:
-    """Replayable DuckDB twin for the fixed-seed LSH run: the integer-
-    quantized hyperplanes are embedded as literals, bucket dot products
-    are exact integer sums (identical to the numpy int64 matmul on the
-    Spark side), candidates = any-table bucket collision, then the same
-    exact-cosine (desc, neighbor_id) ranking as top_k_cosine."""
+def _lsh_sql_parts(
+    dim: int, bits: int, n_tables: int, scale: int, prefix: str = "b"
+) -> tuple[str, str]:
+    """(bucket_cols, collide) SQL fragments replaying a fixed-seed
+    quantized-LSH bucket assignment in DuckDB: hyperplanes embedded as
+    integer literals, dot products exact integer sums (identical to
+    the numpy int64 matmul on the Spark side). ``prefix`` namespaces
+    the bucket columns so two configs can coexist in one query."""
     planes = similarity.quantized_planes(dim, bits, n_tables, scale=scale)
 
     def bucket_expr(t: int) -> str:
@@ -197,9 +199,17 @@ def _lsh_oracle_sql(dim: int, bits: int, n_tables: int, scale: int) -> str:
         return " + ".join(terms)
 
     bucket_cols = ",\n         ".join(
-        f"({bucket_expr(t)}) AS b{t}" for t in range(n_tables)
+        f"({bucket_expr(t)}) AS {prefix}{t}" for t in range(n_tables)
     )
-    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    collide = " OR ".join(f"q.{prefix}{t} = c.{prefix}{t}" for t in range(n_tables))
+    return bucket_cols, collide
+
+
+def _lsh_oracle_sql(dim: int, bits: int, n_tables: int, scale: int) -> str:
+    """Replayable DuckDB twin for the fixed-seed LSH run: quantized
+    bucket collision candidates, then the same exact-cosine (desc,
+    neighbor_id) ranking as top_k_cosine."""
+    bucket_cols, collide = _lsh_sql_parts(dim, bits, n_tables, scale)
     return f"""
     WITH e AS (
       SELECT vec_id,

@@ -61,7 +61,27 @@ DEFER_FROM_WINDOW: tuple[str, ...] = (
     "media_dedup_groups",
     "customers_without_orders",
     "rich_idle_customers",
+    # Round 5 (VERDICT r04 items 3/4): rows-only queries newly given a
+    # DuckDB oracle this round. Deferring them ranks them BEHIND the
+    # 46 never-checked paired queries already queued for the r05
+    # window (40 bucket-1 + the 6 twins above), so the final never-
+    # checked backlog is cleared first; they fill the remaining window
+    # slots (47-50) themselves. tests/test_catalog_freeze.py asserts
+    # all paired-unverified names still fit in the 50-slot window.
+    "ann_recall_report",
+    "bpe_train_merges",
+    "predict_hit_rate",
 )
+
+# Queries whose CORRECT answer is legitimately empty at driver SF
+# (ADVICE r04: driver_green ignores 0-row greens, so an expected-empty
+# query would re-enter the bounded window every round forever). A name
+# listed here accepts a 0-row green — but ONLY add a name alongside a
+# local test proving the query is non-vacuous at some other SF or on
+# planted data. Currently empty: every vacuous-green found so far
+# (sql_param_extract, customers_without_orders, rich_idle_customers,
+# media_dedup_groups) was a bug to fix by re-scoping, not to allowlist.
+EXPECTED_EMPTY: frozenset[str] = frozenset()
 
 def driver_green() -> frozenset[str]:
     """Names with a green driver-correctness row in ANY recorded round.
@@ -102,7 +122,7 @@ def driver_green() -> frozenset[str]:
                 row.get("err") is None
                 and flags
                 and all(flags)
-                and row.get("spark_rows", 0) > 0
+                and (row.get("spark_rows", 0) > 0 or name in EXPECTED_EMPTY)
             ):
                 green.add(name)
     return frozenset(green)

@@ -141,10 +141,19 @@ class PipelineRunner:
         full re-scan)."""
         path = os.path.join(self.base, name)
         if self.resume and self._complete(name):
-            with open(self._meta_path(name)) as f:
-                rows = json.load(f)["rows"]
-            self.results.append(StageResult(name, path, rows, resumed=True))
-            return self.spark.read.parquet(path)
+            # the sidecar is written via temp+rename so a present file
+            # is normally whole, but an older layout (or a copy made by
+            # non-atomic tooling) can leave a truncated file: treat any
+            # unparseable sidecar as incomplete and recompute the stage
+            # rather than crash the resumed run
+            try:
+                with open(self._meta_path(name)) as f:
+                    rows = json.load(f)["rows"]
+            except (ValueError, KeyError, OSError):
+                rows = None
+            if rows is not None:
+                self.results.append(StageResult(name, path, rows, resumed=True))
+                return self.spark.read.parquet(path)
         from pyspark.sql import Observation
 
         obs = Observation(f"stage:{name}")
@@ -152,8 +161,13 @@ class PipelineRunner:
             "overwrite"
         ).parquet(path)
         rows = obs.get["rows"]
-        with open(self._meta_path(name), "w") as f:
+        # temp + atomic rename: a process killed mid-write must never
+        # leave a present-but-truncated sidecar next to a _SUCCESS
+        # marker (resume would otherwise trust it)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"stage": name, "rows": rows}, f)
+        os.replace(tmp, self._meta_path(name))
         out = self.spark.read.parquet(path)
         self.results.append(StageResult(name, path, rows))
         return out

@@ -201,6 +201,16 @@ def test_resume_skips_completed_stages(spark, raw_log, tmp_path):
     assert victim not in out3["resumed_stages"]
     assert out3["stage_rows"] == out1["stage_rows"]
 
+    # a present-but-truncated metadata sidecar (process killed
+    # mid-write under a pre-atomic-rename layout) must RECOMPUTE the
+    # stage, not crash the resumed run (ADVICE r04)
+    victim2 = out1["stages"][0]
+    with open(os.path.join(out1["run_dir"], f"{victim2}.meta.json"), "w") as f:
+        f.write('{"stage": "' + victim2 + '", "ro')  # truncated JSON
+    out4 = run_nep_flow(spark, raw, str(tmp_path), "run-res", resume=True, **kw)
+    assert victim2 not in out4["resumed_stages"]
+    assert out4["stage_rows"] == out1["stage_rows"]
+
 
 def test_stage_rows_observed_without_extra_jobs(spark, raw_log, tmp_path):
     """I-family observability: every checkpoint records its row count
