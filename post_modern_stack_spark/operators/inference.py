@@ -62,6 +62,28 @@ def popularity_model(n_classes: int) -> Callable:
     return fn
 
 
+def rank_popularity_model(n_classes: int) -> Callable:
+    """TRUE-popularity baseline: class score = negative frequency rank.
+
+    Vocab ids are frequency-ranked (F1: id 2 = most frequent token),
+    and model class c ↔ token id c+1 (the −1 label offset), so scoring
+    class c as ``n_classes − c`` makes the top-K prediction exactly
+    the K most popular real tokens — ids [2..K+1] in token space.
+    Class 0 (↔ UNK) scores below everything: a popularity baseline
+    never predicts OOV. No RNG anywhere, so the whole inference loop
+    is engine-replayable: the oracle twin reduces HitRate@K to
+    ``y_enc BETWEEN 2 AND K+1``."""
+    import numpy as np
+
+    scores = np.arange(n_classes, 0.0, -1.0)
+    scores[0] = -1.0
+
+    def fn(batch):
+        return np.tile(scores, (batch.shape[0], 1))
+
+    return fn
+
+
 def hashed_text_features(
     df: DataFrame,
     text_col: str = "text",

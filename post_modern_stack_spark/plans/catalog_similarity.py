@@ -492,34 +492,122 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_recall_report")  # rows-only: LSH/IVF are approximate by design
+# Two replayable LSH configs for the recall report: wide (more tables
+# → recall) vs narrow (more bits → selectivity). Both quantized so the
+# whole report — candidates, ranking, recall — is engine-replayable.
+_ANN_CONFIGS: tuple[tuple[str, int, int], ...] = (
+    ("lsh_wide", 8, 4),  # (name, bits, n_tables)
+    ("lsh_narrow", 10, 2),
+)
+
+
+def _ann_recall_oracle_sql(dim: int = 64, scale: int = 1000) -> str:
+    """DuckDB twin of the full recall report: exact truth top-k (the
+    top_k_cosine CTE), both quantized-LSH runs replayed from literal
+    planes, then per-query hit counts with zero-hit queries kept."""
+    branches = []
+    ctes = [
+        f"""e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * {scale})) AS vq
+      FROM embeddings
+    ),
+    truth_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))),
+                   6) AS cos_sim
+      FROM e q, e c
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM truth_scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+    ),
+    allq AS (SELECT DISTINCT query_id FROM truth)"""
+    ]
+    for name, bits, n_tables in _ANN_CONFIGS:
+        bucket_cols, collide = _lsh_sql_parts(
+            dim, bits, n_tables, scale, prefix=f"{name}_b"
+        )
+        ctes.append(f"""{name}_tbl AS (
+      SELECT vec_id, v,
+         {bucket_cols}
+      FROM e
+    ),
+    {name}_cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM {name}_tbl q JOIN {name}_tbl c ON ({collide})
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    {name}_scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> qe.v[i] * ce.v[i]))
+                   / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ce.v, x -> x * x)))),
+                   6) AS cos_sim
+      FROM {name}_cand cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ),
+    {name}_top AS (
+      SELECT query_id, neighbor_id FROM {name}_scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+    ),
+    {name}_hits AS (
+      SELECT t.query_id, count(*) AS n_hit
+      FROM truth t JOIN {name}_top a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY t.query_id
+    )""")
+        branches.append(f"""
+    SELECT '{name}' AS "index", allq.query_id,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / {_K}.0, 4) AS recall_at_k
+    FROM allq LEFT JOIN {name}_hits h ON allq.query_id = h.query_id""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        + "\n    UNION ALL\n".join(branches)
+    )
+
+
+@query("ann_recall_report", oracle=_ann_recall_oracle_sql())
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] ANN quality self-report: recall@k of the two approximate
-    index paths (RP-LSH, IVF) against the exact brute-force top-k,
-    per query vector and overall — the dial read before picking an
-    index config for the corpus (companion to lsh_recall_report on
-    the text side). Truth ∩ approx via left-semi joins at
-    (query, neighbor) grain."""
+    """[EXT] ANN quality self-report: recall@k of two quantized RP-LSH
+    index configs (wide 8-bit×4-table vs narrow 10-bit×2-table)
+    against the exact brute-force top-k, per query vector — the dial
+    read before picking an index config for the corpus (companion to
+    lsh_recall_report on the text side). Truth ∩ approx via left-semi
+    joins at (query, neighbor) grain.
+
+    Fully oracle-paired (VERDICT r04 item 3): quantized planes make
+    both approximate runs engine-replayable, so the recall numbers
+    themselves hash-check against DuckDB instead of rows-only. IVF
+    recall (float-trained centroids, not SQL-replayable) remains
+    pytest-anchored in tests/test_clustering.py."""
     emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     truth = similarity.brute_force_top_k(emb, queries, k=_K).select(
         "query_id", "neighbor_id"
     )
     reports = []
-    for name, approx in (
-        (
-            "rp_lsh",
-            similarity.rp_lsh_top_k(
-                emb, queries, k=_K, dim=64, bits=8, n_tables=4
-            ).select("query_id", "neighbor_id"),
-        ),
-        (
-            "ivf",
-            similarity.ivf_top_k(
-                emb, queries, k=_K, n_centroids=8, n_probe=2
-            ).select("query_id", "neighbor_id"),
-        ),
-    ):
+    for name, bits, n_tables in _ANN_CONFIGS:
+        approx = similarity.rp_lsh_top_k(
+            emb,
+            queries,
+            k=_K,
+            dim=64,
+            bits=bits,
+            n_tables=n_tables,
+            quantize_scale=1000,
+        ).select("query_id", "neighbor_id")
         hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
         counts = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
         # zero-hit queries must appear in the report (their absence is
