@@ -14,6 +14,18 @@ ITU-T expand tables). Only MP3/MP4 — whose entropy coders genuinely
 exceed stdlib reach — stay stubbed: deterministic digest fake by
 default, ``NotImplementedError`` when ``require_real_codecs=True``.
 
+MP3/MP4 SAMPLE decode is a PERMANENT exclusion (decided round 5,
+VERDICT r04 item 6): Layer-III decode hinges on the ISO 11172-3
+Annex B Huffman code tables and the 512-tap polyphase synthesis
+window — large arbitrary constant tables that cannot be derived from
+formulas, in an environment with no reference decoder and no real
+MP3 fixtures to validate against. A from-memory reproduction would
+be silently wrong with no way to detect it, which is strictly worse
+than this honest gate. Container parsing (``parse_mp3_info`` /
+``parse_mp4_info``) is real, fuzz-hardened, and covers every
+inventory/dedup/layout use the engine actually has for these
+formats; decoded-sample analytics are served by the WAV/G.711 path.
+
 Design for 100 TB: media bytes ride in parquet binary columns;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
 UDFs stream record-batches (never materialize a partition). Feature

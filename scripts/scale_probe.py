@@ -544,7 +544,52 @@ def probe_text_queries(spark, path: str):
         "pack_greedy": lambda: _pack_probe(load()),
         "logreg_2iter": lambda: _logreg_probe(load()),
         "semantic_dedup": lambda: _semdedup_probe(spark, load()),
+        "semantic_dedup_skewed": lambda: _semdedup_probe(
+            spark, load(), skew=True
+        ),
+        "semantic_dedup_skewed_sharded": lambda: _semdedup_probe(
+            spark, load(), skew=True, sharded=True
+        ),
+        "semantic_dedup_skewed_auto": lambda: _semdedup_probe(
+            spark, load(), skew=True, sharded="auto"
+        ),
+        "training_manifest": lambda: _manifest_probe(load()),
     }
+
+
+def _manifest_probe(docs):
+    """The full training_manifest chain (catalog q_training_manifest):
+    Gopher sub-rules → exact dedup keep-min → per-token DSIR gate →
+    A-ES 10-per-source sample → greedy 256-token packing. The 5-stage
+    funnel was only measured to 1M docs before (VERDICT r04 item 5)."""
+    from post_modern_stack_spark.operators import textstats
+    from post_modern_stack_spark.operators.shaping import (
+        pack_greedy,
+        weighted_sample_per_group,
+    )
+    from post_modern_stack_spark.operators.textstats import _gopher_metrics
+
+    m = _gopher_metrics("text")
+    filtered = docs.filter(m["r_word_count"] & m["r_alpha"] & m["r_mean_word_len"])
+    deduped = textstats.exact_keep_min(filtered)
+    lw = textstats.dsir_weights(
+        docs, target_filter=F.col("source") == "src0"
+    ).select("doc_id", "dsir_logratio", F.col("n_tokens").alias("__ntok"))
+    surv = (
+        deduped.join(lw, "doc_id")
+        .filter(F.col("dsir_logratio") >= -0.5 * F.col("__ntok"))
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        )
+    )
+    sampled = weighted_sample_per_group(surv, k=10, weight_col="n_tokens").select(
+        "source", "doc_id", "n_tokens"
+    )
+    return pack_greedy(sampled, budget=256).select(
+        "source", "bin_id", "doc_id", "n_tokens"
+    )
 
 
 def _pack_probe(docs):
@@ -572,23 +617,38 @@ def _logreg_probe(docs):
     return inference.score_logreg(inference.hashed_text_features(docs), w, b)
 
 
-def _semdedup_probe(spark, docs):
+def _semdedup_probe(spark, docs, skew: bool = False, sharded: bool = False):
     """Synthetic 32-dim embeddings, ~1000-member clusters — the
-    per-cluster GEMM grain SemDeDup's k is chosen to produce."""
+    per-cluster GEMM grain SemDeDup's k is chosen to produce.
+
+    ``skew=True`` routes 10% of the corpus into cluster 0 (a 100k-
+    member cluster at 1M docs): the straggler scenario VERDICT r04
+    item 5 asks about. The row-blocked GEMM keeps that one task at
+    O(block·n) memory; wall-clock is bounded by its O(n²)·dim flops
+    in BLAS, which the ladder row quantifies."""
     from post_modern_stack_spark.operators import dedup
 
     # cluster COUNT scales with corpus so cluster SIZE stays ~1000 —
     # exactly how SemDeDup picks k; a fixed k would grow per-task GEMMs
     # quadratically with corpus size
     n_clusters = max(docs.count() // 1000, 1)
+    label = F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(n_clusters)).cast("int")
+    if skew:
+        label = F.when(
+            F.pmod(F.xxhash64("doc_id", F.lit(5)), F.lit(10)) == 0, F.lit(0)
+        ).otherwise(label)
     emb = docs.select(
         F.col("doc_id").alias("vec_id"),
-        F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(n_clusters)).cast("int").alias("label"),
+        label.alias("label"),
         F.transform(
             F.sequence(F.lit(1), F.lit(32)),
             lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0),
         ).alias("embedding"),
     )
+    if sharded == "auto":
+        return dedup.semantic_dedup_auto(emb, threshold=0.8)
+    if sharded:
+        return dedup.semantic_dedup_sharded(emb, threshold=0.8)
     return dedup.semantic_dedup(emb, threshold=0.8)
 
 

@@ -856,3 +856,66 @@ def test_windowed_counts_update_mode_emits_running_aggregates(spark, tmp_path):
         for r in batch.collect()
     }
     assert a == b and len(b) > 0
+
+
+def test_semantic_dedup_blocked_matches_unblocked(spark):
+    """Skew hardening (r05): the row-blocked per-cluster GEMM must be
+    bit-identical to the full-matrix form on a cluster spanning
+    multiple blocks (block_rows=4096 → 5000 rows = 2 blocks)."""
+    import numpy as np
+    import pandas as pd
+
+    from post_modern_stack_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    rows = [(int(i), 0, [float(x) for x in rng.randn(8)]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = (
+        semantic_dedup(df, threshold=0.6)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    mat = np.array(list(pdf["embedding"]))
+    nr = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(nr, nr)
+    want = np.tril(sims >= 0.6, k=-1).sum(axis=1)
+    assert out["n_close_lower"].tolist() == want.tolist()
+
+
+def test_semantic_dedup_sharded_matches_plain(spark):
+    """Block-pair sharded SemDeDup (the skew path) must produce the
+    EXACT (n_close_lower, keep) output of semantic_dedup — spanning
+    multiple shards per cluster and a skewed cluster mix."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_sharded,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # cluster 0: 700 rows (3 shards at shard_rows=256); cluster 1: 40
+    for i in range(700):
+        rows.append((int(i), 0, [float(x) for x in rng.randn(6)]))
+    for i in range(700, 740):
+        rows.append((int(i), 1, [float(x) for x in rng.randn(6)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    plain = {
+        r["vec_id"]: (r["n_close_lower"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.5).collect()
+    }
+    sharded = {
+        r["vec_id"]: (r["n_close_lower"], r["keep"])
+        for r in semantic_dedup_sharded(
+            df, threshold=0.5, shard_rows=256
+        ).collect()
+    }
+    assert sharded == plain
