@@ -852,9 +852,11 @@ def semantic_dedup_auto(
     the oversized-cluster id list is cluster-count-bounded (collected
     to the driver, same class as the Lloyd centroid collect).
 
-    Measured (1M docs, 10% of corpus in one 100k cluster, 32 cores):
-    plain 257 s (single straggler task) → sharded-everything 152 s →
-    auto 48 s; uniform ~1k clusters stay at the plain path's 11 s.
+    Measured (1M docs, 10% of corpus in one 100k cluster, 32 cores;
+    two host windows — BASELINE.md round-8 row is the committed one):
+    plain 257–404 s (single straggler task) → sharded-everything
+    123–152 s → auto 48–58 s; uniform ~1k clusters stay at the plain
+    path's 6–11 s.
     """
     sizes = (
         embeddings.groupBy(cluster_col)

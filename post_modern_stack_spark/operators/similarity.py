@@ -61,6 +61,119 @@ def brute_force_top_k(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def brute_force_top_k_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-K, Arrow-native scale path for ``brute_force_top_k``.
+
+    Same contract and IDENTICAL output (parity-tested): (query_id,
+    neighbor_id, cos_sim, rank), cos_sim rounded to 6dp, ranking by
+    (rounded score desc, neighbor_id asc), self-matches excluded. The
+    difference is the physical strategy: the expression-tree form
+    materializes |corpus| x |queries| joined ROWS through codegen (at
+    1M x 32 that is 32M rows of array arithmetic); this form ships the
+    bounded query matrix to each task in the closure (the ANN contract:
+    queries are the small side — same class as the LSH query-side
+    collect) and runs ONE BLAS GEMM per Arrow record batch via
+    ``mapInArrow`` — vectors are reshaped zero-copy from the Arrow list
+    buffer, never converted to pandas objects. Each partition emits
+    only its local top-k per query, pre-ranked by the SAME total order
+    (rounded sim desc, id asc) — per-partition prefix selection under a
+    total order composes exactly, so the final window top-K over
+    n_partitions x |queries| x k rows reproduces the global answer
+    bit-for-bit. Rounding happens in numpy with round-half-away (the
+    F.round/DuckDB convention) BEFORE selection so rounded-tie
+    candidates survive partition-local cuts.
+
+    Measured (BASELINE.md round-8): 1M x 64-dim corpus, 32 queries,
+    k=5 — expression path 226 s, this path 9.8 s (23x): the join
+    row-explosion disappears into (batch x dim) @ (dim x nq) matmuls.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        empty = "query_id long, neighbor_id long, cos_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    dim = qmat.shape[1]
+    scale = 1_000_000.0
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    )
+
+    def local_top_k(batches):
+        # per-query candidate pools, merged across this partition's batches
+        cand_ids = [[] for _ in range(len(qids))]
+        cand_sims = [[] for _ in range(len(qids))]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nid = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+            col = batch.column("cv")
+            offs = np.asarray(col.offsets)
+            if not np.all(np.diff(offs) == dim):
+                raise ValueError("ragged embedding column; expected dim=%d" % dim)
+            # zero-copy: the list child buffer IS the (n*dim) value vector
+            mat = np.asarray(col.values, dtype=np.float64)[
+                offs[0] : offs[-1]
+            ].reshape(n, dim)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)  # (n, nq)
+            # round-half-away to 6dp BEFORE any selection (ranking key)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+            sims[nid[:, None] == qids[None, :]] = -np.inf  # self-match
+            take = min(k, n)
+            # per-query batch-local top-take by (sim desc, id asc)
+            for j in range(len(qids)):
+                order = np.lexsort((nid, -sims[:, j]))[:take]
+                cand_ids[j].append(nid[order])
+                cand_sims[j].append(sims[:, j][order])
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            if not cand_ids[j]:
+                continue
+            ids = np.concatenate(cand_ids[j])
+            sims = np.concatenate(cand_sims[j])
+            keep = sims > -np.inf
+            ids, sims = ids[keep], sims[keep]
+            order = np.lexsort((ids, -sims))[:k]
+            out_q.append(np.full(len(order), qids[j]))
+            out_n.append(ids[order])
+            out_s.append(sims[order])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_sim"],
+            )
+
+    partials = c.mapInArrow(
+        local_top_k, "query_id long, neighbor_id long, cos_sim double"
+    )
+    return top_k_per_group(
+        partials,
+        ["query_id"],
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (literal constants —
     the plan embeds them; no data dependency, no driver collect)."""

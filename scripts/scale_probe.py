@@ -554,7 +554,32 @@ def probe_text_queries(spark, path: str):
             spark, load(), skew=True, sharded="auto"
         ),
         "training_manifest": lambda: _manifest_probe(load()),
+        "top_k_exact_expr": lambda: _topk_probe(spark, load(), arrow=False),
+        "top_k_exact_arrow": lambda: _topk_probe(spark, load(), arrow=True),
     }
+
+
+def _topk_probe(spark, docs, arrow: bool):
+    """Exact cosine top-5 of 32 queries against a synthetic 32-dim
+    corpus: the expression path materializes |corpus|x32 joined rows,
+    the mapInArrow path one GEMM per record batch — the ladder row
+    quantifies the gap (BASELINE.md round-8)."""
+    from post_modern_stack_spark.operators import similarity
+
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 32)
+    fn = (
+        similarity.brute_force_top_k_arrow
+        if arrow
+        else similarity.brute_force_top_k
+    )
+    return fn(emb, queries, k=5)
 
 
 def _manifest_probe(docs):

@@ -919,3 +919,49 @@ def test_semantic_dedup_sharded_matches_plain(spark):
         ).collect()
     }
     assert sharded == plain
+
+
+def test_semantic_dedup_sharded_plan_is_not_cartesian(spark):
+    """The block-pair join has condition (cl == cl2) & (bi <= bj):
+    Catalyst must extract the equality as the join key (shuffle hash /
+    sort-merge on cluster) and evaluate the block-range predicate
+    post-match — a CartesianProduct over block pairs would be the
+    O(catalog²) failure mode at corpus scale."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators.dedup import semantic_dedup_sharded
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(i % 3), [float(x) for x in rng.randn(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    plan = (
+        semantic_dedup_sharded(df, threshold=0.5, shard_rows=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_top_k_arrow_matches_expression_path(spark):
+    """The mapInArrow exact top-K must reproduce brute_force_top_k
+    bit-for-bit — same rounded scores, same tie-breaks, same ranks —
+    across multiple partitions and batch boundaries, with self-matches
+    excluded."""
+    import numpy as np
+
+    from post_modern_stack_spark.operators.similarity import (
+        brute_force_top_k,
+        brute_force_top_k_arrow,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(800)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    queries = spark.createDataFrame(rows[:12], "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, brute_force_top_k(corpus, queries, k=5).collect()))
+    b = sorted(map(tuple, brute_force_top_k_arrow(corpus, queries, k=5).collect()))
+    assert a == b and len(a) == 12 * 5
