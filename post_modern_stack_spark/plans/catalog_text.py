@@ -1732,9 +1732,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, emit per-doc probability + decision. All training steps are
     DataFrame aggregations (inference.train_logreg) — model state on
     the driver is one 256-float vector; the corpus never leaves the
-    executors. Features are localCheckpoint-ed once: every GD
-    iteration re-reads them 3×, and recompute would repeat both
-    featurizer shuffles."""
+    executors. Features are localCheckpoint-ed once so the two
+    featurizer shuffles run once, shared by train-side packing and
+    final scoring (train_logreg packs + checkpoints its own
+    (id, y, fx) grain internally; each GD
+    iteration is one job with one 257-key shuffle)."""
     from post_modern_stack_spark.operators import inference
 
     docs = load_table(spark, sf_dir, "documents")

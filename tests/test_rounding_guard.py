@@ -36,6 +36,7 @@ OPERATORS = Path(__file__).resolve().parents[1] / "post_modern_stack_spark" / "o
 SQL_ALLOWED_PREFIXES = (
     "len(",                 # array/list lengths — integers
     "CASE WHEN CAST(inter", # 0/1 hit indicator — integers
+    "CASE WHEN y_enc BETWEEN",  # HitRate@K 0/1 indicator — integers
     "n)", "n,", "n ",       # pre-aggregated counts
     "d.dau",                # daily-active counts — integers
     "l_quantity",           # integer-valued TPC-H quantity
