@@ -14,6 +14,7 @@ Keras ``Tokenizer(filters='', lower=False, oov_token='<UNK>')``:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -202,23 +203,111 @@ def bpe_train(
             best_rows[0]["best"]["n"],
         )
         merges.append((rank, left, right, int(n)))
-        la, lb = F.lit(left), F.lit(right)
-        # greedy left-to-right merge: fold symbols, replacing each
-        # (left, right) adjacency with the joined symbol; a just-merged
-        # symbol is NOT re-merged with the next one (acc tail check
-        # sees the merged token, matching the reference algorithm)
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == la)
-                & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(la, lb)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        state = state.select("w", "cnt", merged.alias("syms")).localCheckpoint()
+        state = state.select(
+            "w", "cnt", _apply_merge("syms", left, right).alias("syms")
+        ).localCheckpoint()
     return merges, state
+
+
+def _apply_merge(syms_col, left: str, right: str):
+    """Greedy left-to-right application of ONE merge to a symbol
+    array: fold symbols, replacing each (left, right) adjacency with
+    the joined symbol; a just-merged symbol is NOT re-merged with the
+    next one (the acc tail check sees the merged token, matching the
+    reference algorithm — ``a a a`` under merge (a,a) → ``aa a``)."""
+    la, lb = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_udf: bool = False,
+) -> DataFrame:
+    """[EXT] apply a trained BPE merge table to the corpus — the
+    token-budget denominator computed with the ACTUAL tokenizer
+    instead of the whitespace proxy (Sennrich'16 encode half; pairs
+    with ``bpe_train``).
+
+    Scale shape: merges are applied on the DISTINCT-WORD table (vocab-
+    sized — millions of rows at 100 TB, not trillions), then the
+    word → token-count map broadcast-joins back to the corpus word
+    occurrences; the corpus-grain pass is one explode + one hash agg.
+    Two interchangeable word-encode paths (parity-tested):
+
+    - ``use_udf=False``: each merge is one chained ``F.aggregate``
+      fold — the exact expression ``bpe_train`` rewrites state with,
+      so train→encode round-trips bit-identically. Right for the
+      small merge tables the catalog trains (expression depth grows
+      with the merge count).
+    - ``use_udf=True``: one Arrow-batched pandas UDF running the
+      standard rank-priority BPE loop per word — O(len·log len) per
+      word independent of merge-table size; the production path for
+      real 30k-merge tokenizers where 30k chained folds cannot plan.
+
+    Returns (id, n_words, n_bpe_tokens, fertility) per document.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    words = toks.select("w").distinct().coalesce(4)
+
+    if use_udf:
+        ranks = {(left, right): rank for rank, left, right, *_ in merges}
+
+        @F.pandas_udf("int")
+        def n_bpe(col: pd.Series) -> pd.Series:
+            def encode(word: str) -> int:
+                syms = list(word)
+                while len(syms) > 1:
+                    # lowest-rank adjacent pair, leftmost on ties —
+                    # rank order reproduces the greedy fold sequence
+                    best, at = None, -1
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, at = r, i
+                    if best is None:
+                        break
+                    syms[at : at + 2] = [syms[at] + syms[at + 1]]
+                return len(syms)
+
+            return col.map(encode).astype("int32")
+
+        encoded = words.select("w", n_bpe("w").alias("w_tokens"))
+    else:
+        syms = F.split("w", "")
+        for rank, left, right, *_ in merges:
+            syms = _apply_merge(syms, left, right)
+        encoded = words.select("w", F.size(syms).cast("int").alias("w_tokens"))
+
+    return (
+        toks.join(F.broadcast(encoded), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )

@@ -17,6 +17,13 @@ Staged here:
   They produce bit-identical results to ``semantic_dedup``, so they
   share its DuckDB pairwise-cosine oracle verbatim — promoting them
   makes the skew path driver-hash-checked, not just parity-tested.
+- ``bpe_encode_tokens`` — the encode half of the BPE pair
+  (vocab.bpe_encode, new this session): apply the 8 trained merges to
+  the corpus and emit per-doc token counts with the ACTUAL tokenizer
+  (the token-budget denominator real accounting needs, replacing the
+  whitespace proxy). Oracle reuses bpe_train_merges' unrolled CTE
+  chain — s8 holds each word's final symbols — joined back at doc
+  grain (_bpe_encode_oracle_sql).
 - ``jsonl_docs_roundtrip`` — end-to-end value check of the jsonl_docs
   Python Data Source (sources/docsource.py): write the documents
   table through the committing Arrow writer, read it back through the
@@ -112,6 +119,32 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shard_rows=_SHARD_ROWS,
     )
+
+
+def _bpe_encode_oracle() -> str:
+    from post_modern_stack_spark.plans.catalog_text import (
+        _bpe_encode_oracle_sql,
+    )
+
+    return _bpe_encode_oracle_sql()
+
+
+@pending("bpe_encode_tokens", oracle=_bpe_encode_oracle())
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE encode (vocab.bpe_encode): train the 8-merge table
+    (vocab.bpe_train — already driver-checked as bpe_train_merges),
+    then tokenize every document with it. Merges apply on the
+    DISTINCT-WORD table (vocab-sized), then broadcast-join back to
+    corpus word occurrences — one explode + one hash agg at corpus
+    grain regardless of merge-table size. The expression-fold word
+    path is used here (bit-identical to training's state rewrite); the
+    pandas-UDF rank-priority path for production 30k-merge tables is
+    parity-tested in tests/test_operators.py."""
+    from post_modern_stack_spark.operators.vocab import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    return bpe_encode(docs, merges)
 
 
 @pending(

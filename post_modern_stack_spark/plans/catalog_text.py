@@ -1865,6 +1865,34 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of ``vocab.bpe_encode``: reuse the merge-training
+    CTE chain above (``s{n_merges}`` holds each distinct word's FINAL
+    separator-encoded symbol string after all merges), then join it
+    back to the per-document word occurrences and count symbols — the
+    same distinct-word-then-rejoin shape as the engine side."""
+    sep = "chr(31)"
+    train = _bpe_oracle_sql(n_merges)
+    chain = train[: train.index("\nSELECT 0 AS")]
+    return f"""{chain},
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0
+    )
+    SELECT d.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(str_split(trim(f.s, {sep}), {sep} || {sep})))::BIGINT
+             AS n_bpe_tokens,
+           round(sum(len(str_split(trim(f.s, {sep}), {sep} || {sep})))::DOUBLE
+                 / count(*), 6) AS fertility
+    FROM docw d JOIN s{n_merges} f USING (w)
+    GROUP BY d.doc_id
+    """
+
+
 @query("bpe_train_merges", oracle=_bpe_oracle_sql())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] distributed BPE merge-table training (vocab.bpe_train, 8

@@ -407,6 +407,58 @@ def test_bpe_train_matches_reference(spark):
     assert got_syms == want_state
 
 
+def test_bpe_encode_matches_reference_both_paths(spark):
+    """Encode half: per-doc token counts from the trained merge table
+    must equal the reference BPE's final symbol counts — via BOTH the
+    expression-fold path (training's exact rewrite) and the pandas-UDF
+    rank-priority path (the production 30k-merge form)."""
+    from post_modern_stack_spark.operators.vocab import bpe_encode, bpe_train
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, _ = bpe_train(df, n_merges=6)
+
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    _, want_state = _reference_bpe(counts, 6)
+    expected = {
+        i: (len(t.split()), sum(len(want_state[w]) for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+    for use_udf in (False, True):
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode(df, merges, use_udf=use_udf).collect()
+        }
+        assert got == expected, f"use_udf={use_udf}"
+
+
+def test_bpe_encode_paths_agree_on_overlapping_runs(spark):
+    """Overlapping same-symbol runs (``aaaa`` under merge (a,a)) are
+    where greedy-fold vs rank-priority implementations classically
+    diverge — both paths must produce identical counts."""
+    from post_modern_stack_spark.operators.vocab import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa aa a ab"), (2, "aaaa aaaa b ab aab")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(df, n_merges=4)
+    fold = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in bpe_encode(df, merges, use_udf=False).collect()
+    }
+    udf = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in bpe_encode(df, merges, use_udf=True).collect()
+    }
+    assert fold == udf
+
+
 def _synth_mp3(n_frames=5, pad_id3=False):
     """Spec-conformant MPEG-1 Layer III 128 kbps 44.1 kHz frames."""
     frame_len = 144 * 128000 // 44100  # 417, padding bit 0
