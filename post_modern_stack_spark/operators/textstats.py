@@ -429,18 +429,24 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     (small by Heaps' law even at corpus scale) and broadcasts, so the
     scoring join is shuffle-free on the fact side; the final doc-grain
     agg reuses the (doc) key. log computed once per (doc, token), not
-    per occurrence.
+    per occurrence. ``tf`` is consumed twice (vocab training + the
+    scoring join) and deliberately NOT checkpointed — it is
+    CORPUS-sized (~tokens-per-doc rows/doc), the same grain whose
+    localCheckpoint OOM'd dsir_weights at 10M docs (see its
+    docstring); two codegen'd explode passes are bounded, a corpus
+    materialization is not. The corpus token total comes from a
+    third, explode-FREE scan (sum of per-row split sizes — identical
+    to sum(tf) since split pieces are exactly the exploded rows).
     """
     tf = (
         df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # consumed twice (vocab training + scoring join); materialize so
-        # the (doc, token) explode+shuffle runs once, not per reference
-        .localCheckpoint()
     )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    total = df.agg(
+        F.sum(F.size(F.split(F.col(text_col), r"\s+"))).cast("long").alias("total")
+    )
     probs = vocab.crossJoin(F.broadcast(total)).select(
         "token", (F.col("cnt") / F.col("total")).alias("p")
     )
@@ -524,6 +530,7 @@ def curate_documents(
     dup_share_max: float = 0.8,
     contam_n: int = 8,
     budget_frac: float = 0.5,
+    chunked_budget: bool = False,
 ) -> dict[str, DataFrame]:
     """End-to-end training-corpus curation — the five-stage pipeline
     every LLM data run executes, composed from this module's operators
@@ -545,8 +552,6 @@ def curate_documents(
     re-runs an upstream shuffle). Every stage is deterministic and
     SQL-expressible, so the whole funnel is oracle-checkable.
     """
-    from pyspark.sql import Window
-
     # quality is projection+filter only (no shuffle): recomputing it
     # for its two consumers is cheaper than materializing full text to
     # local disk, so it is NOT checkpointed; stages whose recompute
@@ -585,18 +590,11 @@ def curate_documents(
     clean = near.join(contaminated, "doc_id", "left_anti").localCheckpoint()
 
     toks = F.size(F.split(F.col(text_col), r"\s+"))
-    # the global running sum is inherently single-partition, so only a
-    # narrow (doc_id, n_tokens) projection rides it; survivors rejoin
-    # by id (left_semi, key-grain build side). At 100 TB swap the
-    # single-partition cumsum for skew.chunked_running_sum.
+    # only a narrow (doc_id, n_tokens) projection rides the running
+    # sum; survivors rejoin by id (left_semi, key-grain build side)
     sizes = clean.select("doc_id", toks.alias("__nt"))
-    total = sizes.agg(F.sum("__nt").alias("total"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    keep_ids = (
-        sizes.crossJoin(F.broadcast(total))
-        .withColumn("running", F.sum("__nt").over(w))
-        .filter(F.col("running") <= F.floor(F.col("total") * budget_frac))
-        .select("doc_id")
+    keep_ids = token_budget_keep_ids(
+        sizes, budget_frac, chunked=chunked_budget
     )
     final = clean.join(keep_ids, "doc_id", "left_semi")
     return {
@@ -607,6 +605,53 @@ def curate_documents(
         "clean": clean,
         "final": final,
     }
+
+
+def token_budget_keep_ids(
+    sizes: DataFrame,
+    budget_frac: float,
+    chunked: bool = False,
+    chunk_span: int = 65_536,
+) -> DataFrame:
+    """Token-budget gate (curate_documents stage 5): keep doc_ids, in
+    doc_id order, while the inclusive running token total stays within
+    ``budget_frac`` of the corpus total. ``sizes`` is the narrow
+    (doc_id, __nt) projection.
+
+    ``chunked=False`` runs the plain global cumsum — one task sorts
+    the post-filter corpus, fine at bench SFs. ``chunked=True`` is the
+    100 TB form: skew.chunked_running_sum decomposes the prefix sum
+    into parallel per-chunk windows over contiguous doc_id spans plus
+    one chunk-grain offset pass. Token counts are INTEGERS, so the
+    re-association is exact — identical survivors (parity-tested
+    across multi-chunk id ranges)."""
+    from pyspark.sql import Window
+
+    total = sizes.agg(F.sum("__nt").alias("total"))
+    if chunked:
+        from post_modern_stack_spark.operators.skew import (
+            chunked_running_sum,
+        )
+
+        running = chunked_running_sum(
+            sizes,
+            key_cols=[],
+            order_col="doc_id",
+            tie_cols=[],
+            value_col="__nt",
+            out_col="running",
+            chunk_span=chunk_span,
+        )
+    else:
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        running = sizes.withColumn("running", F.sum("__nt").over(w))
+    return (
+        running.crossJoin(F.broadcast(total))
+        .filter(F.col("running") <= F.floor(F.col("total") * budget_frac))
+        .select("doc_id")
+    )
 
 
 def exact_keep_min(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -742,15 +787,29 @@ def dsir_weights(
     Documents scoring high resemble the target domain and are kept by
     importance resampling.
 
-    Engine shape: ONE explode+md5 pass reduces straight to
-    (doc, bucket, c) sparse counts — everything downstream (both
-    distributions, the rejoin, the doc-grain score) reads that small
-    table, never the token stream again. The first version derived
-    raw/target/score each directly from the token explode and
-    recomputed the md5 pass three times: 65 s → 30 s at 1 M docs.
-    ``doc_counts`` is localCheckpoint-ed because its derivation ends
-    in a shuffle that all three consumers would repeat. Distributions
-    are ``n_buckets`` rows, Laplace-smoothed (+1), broadcast back.
+    Engine shape: the explode+md5 pass reduces straight to
+    (doc, bucket, c) sparse counts, consumed twice — once collapsed to
+    the fused raw+target bucket distribution (its grand totals come
+    from a global window over the n_buckets-row table, not another
+    corpus subtree), once for the doc-grain score. TWO codegen'd
+    corpus passes, ZERO materialization. The history of this plan is
+    the repo's checkpoint rule in miniature: the first version derived
+    raw/target/score each straight from the token explode (3 passes,
+    65 s at 1 M docs); the second localCheckpoint-ed ``doc_counts``
+    (1 pass + materialization, 30 s at 1 M) — and turned out to be a
+    HEAP BOMB at scale: the sparse grain is ~100 rows/doc, so 10 M
+    docs checkpointed ~1 B deserialized rows into executor storage and
+    OOM'd a 48 g local[32] JVM; at 100 TB it would burn cluster
+    storage proportional to the corpus. Recomputing a scan+explode+
+    partial-agg chain is bandwidth-bound and bounded; materializing a
+    corpus-sized grain is not ("checkpoint rows only when recompute
+    repeats a shuffle AND the rows are sub-corpus-sized" — the
+    curate_documents rule, amended by this incident). AQE's stage
+    cache does not reliably unify the two subtrees across the
+    broadcast boundary (exprId/pruning drift), so the plan test pins
+    the honest contract: exactly two Generates, no checkpoint scan.
+    Distributions are ``n_buckets`` rows, Laplace-smoothed (+1),
+    broadcast back.
 
     ``target_filter``: boolean Column selecting the target-domain rows
     (e.g. ``F.col('source') == 'src0'``).
@@ -768,30 +827,33 @@ def dsir_weights(
         )
         .groupBy("doc_id", "__is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
     )
-    raw = doc_counts.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
-    tgt = (
-        doc_counts.filter("__is_target")
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("c_tgt"))
+    # raw + target bucket distributions in ONE conditional aggregate
+    # (was: two aggs + a bucket join + na.fill — same values); the
+    # grand totals come from a GLOBAL WINDOW over the n_buckets-row
+    # table (single tiny task) instead of a separate 1-row aggregate —
+    # a second subtree over doc_counts would cost one more corpus pass
+    from pyspark.sql import Window
+
+    both = doc_counts.groupBy("bucket").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
+            "c_tgt"
+        ),
     )
-    # smoothed log-prob tables; totals ride along as literals via a
-    # broadcast crossJoin of the 1-row aggregate
-    raw_tot = raw.agg(F.sum("c_raw").alias("n_raw"))
-    tgt_tot = tgt.agg(F.sum("c_tgt").alias("n_tgt"))
-    dist = (
-        raw.join(tgt, "bucket", "left")
-        .na.fill({"c_tgt": 0})
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + n_buckets))
-                - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + n_buckets))
-            ).alias("log_ratio"),
-        )
+    w_all = Window.partitionBy()
+    dist = both.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + 1)
+                / (F.sum("c_tgt").over(w_all) + n_buckets)
+            )
+            - F.log(
+                (F.col("c_raw") + 1)
+                / (F.sum("c_raw").over(w_all) + n_buckets)
+            )
+        ).alias("log_ratio"),
     )
     return (
         doc_counts.join(F.broadcast(dist), "bucket")

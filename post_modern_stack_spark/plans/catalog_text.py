@@ -2386,7 +2386,12 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, score each doc's mean bigram log-prob + perplexity.
     Bigram facts collapse to (doc, bigram, tf) before any join; the
     conditional table c(a,·) derives from the BIGRAM counts (never a
-    second corpus pass) and broadcasts with the vocab size."""
+    second corpus pass) and broadcasts with the vocab size. ``dtf``
+    is consumed twice but NOT checkpointed — it is corpus-sized
+    (one row per distinct (doc, bigram)), the grain class whose
+    localCheckpoint OOM'd dsir_weights at 10M docs; two codegen'd
+    bigram passes measured FASTER than checkpoint materialization
+    (dsir 1M: 16.4 s two-pass vs 30 s checkpointed)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
     bigs = F.zip_with(
@@ -2399,7 +2404,6 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigs).alias("big"))
         .groupBy("doc_id", "big")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
     )
     cab = dtf.groupBy("big").agg(F.sum("tf").alias("c_ab"))
     ca = (

@@ -532,6 +532,21 @@ def probe_text_queries(spark, path: str):
         "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
         "unigram_logprob": lambda: textstats.unigram_logprob(load()),
         "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
+        "token_budget_plain": lambda: textstats.token_budget_keep_ids(
+            load().select(
+                "doc_id",
+                F.size(F.split(F.col("text"), r"\s+")).alias("__nt"),
+            ),
+            0.5,
+        ),
+        "token_budget_chunked": lambda: textstats.token_budget_keep_ids(
+            load().select(
+                "doc_id",
+                F.size(F.split(F.col("text"), r"\s+")).alias("__nt"),
+            ),
+            0.5,
+            chunked=True,
+        ),
         "curation_final": lambda: textstats.curate_documents(
             load().filter(F.col("doc_id") % 97 != 0),
             load().filter(F.col("doc_id") % 97 == 0),
@@ -677,6 +692,24 @@ def _semdedup_probe(spark, docs, skew: bool = False, sharded: bool = False):
     return dedup.semantic_dedup(emb, threshold=0.8)
 
 
+def _release_checkpoints(spark) -> None:
+    """Unpersist every lingering cached/localCheckpoint RDD between
+    probes. Block release normally rides the ASYNC ContextCleaner
+    (driver GC → cleanup queue), so consecutive heavy probes in one
+    JVM can overlap: the next probe's localCheckpoint allocates while
+    the previous probe's dead blocks still hold heap — observed as a
+    Java OOM when training_manifest followed curation_final at 10M
+    docs in one process (48g heap). Probes are independent, so a
+    synchronous sweep between them is always safe here; it would NOT
+    be safe inside an operator while its DataFrames are still live."""
+    import gc
+
+    gc.collect()  # drop Python-side RDD refs first
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd_id in list(jmap.keySet().toArray()):
+        jmap.get(rdd_id).unpersist(True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[1_000_000, 10_000_000])
@@ -690,11 +723,23 @@ def main() -> None:
         default=[],
         help="also probe the text family at these documents-table sizes",
     )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (default 32 is "
+        "sized for bench SFs; 1B-row exploded grains at 10M docs "
+        "want corpus-proportional counts — the knob a real cluster "
+        "turns)",
+    )
     args = ap.parse_args()
 
     from post_modern_stack_spark.session import get_spark
 
-    spark = get_spark(app_name="pmss-scale-probe")
+    spark = get_spark(
+        app_name="pmss-scale-probe",
+        shuffle_partitions=args.shuffle_partitions,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="pmss-scale-")
     try:
@@ -708,6 +753,7 @@ def main() -> None:
                 build().write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 2)
                 print(json.dumps({"rows": n, "query": name, "sec": dt}), flush=True)
+                _release_checkpoints(spark)
         for n in args.docs:
             path = f"{base}/docs_{n}"
             synthesize_docs(spark, n, path)
@@ -718,6 +764,7 @@ def main() -> None:
                 build().write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 2)
                 print(json.dumps({"docs": n, "query": name, "sec": dt}), flush=True)
+                _release_checkpoints(spark)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()

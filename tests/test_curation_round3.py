@@ -195,19 +195,27 @@ def test_bpe_pretokens_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
-def test_dsir_plan_single_token_pass(spark):
-    """The token explode+md5 must appear ONCE in the physical plan —
-    distributions and doc scores all read the checkpointed sparse
-    counts (the 3x-recompute regression this plan replaced)."""
+def test_dsir_plan_two_passes_no_materialization(spark):
+    """dsir_weights' contract after the 10M-doc OOM incident: exactly
+    TWO codegen'd token passes (distribution + score — the 3-pass
+    regression form is caught), and NO checkpoint of the corpus-sized
+    sparse grain (a localCheckpoint materialized ~1B deserialized rows
+    at 10M docs and OOM'd a 48g local JVM; its scan would surface here
+    as a non-parquet leaf)."""
     from post_modern_stack_spark.operators.textstats import dsir_weights
     from post_modern_stack_spark.registry import load_table
     import pyspark.sql.functions as F
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    plan = _plan_of(dsir_weights(docs, target_filter=F.col("source") == "src0"))
-    # the checkpoint boundary hides the explode; no Generate may leak
-    # into the consumer plan (it would mean a re-derivation)
-    assert "Generate" not in plan
+    out = dsir_weights(docs, target_filter=F.col("source") == "src0")
+    out.collect()  # drive out's OWN plan to its final adaptive form
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 2, final
+    assert "Scan ExistingRDD" not in final, final  # checkpoint leaf
+    # every leaf is the parquet table itself
+    assert final.count("FileScan parquet") == 2, final
 
 
 def test_kmeans_recovers_planted_blobs(spark):
@@ -405,6 +413,54 @@ def test_bpe_train_matches_reference(spark):
     assert got_merges == want_merges
     got_syms = {r["w"]: list(r["syms"]) for r in got_vocab.collect()}
     assert got_syms == want_state
+
+
+def test_token_budget_chunked_parity_multichunk(spark):
+    """The 100 TB budget-gate form (parallel chunked prefix sum) must
+    keep EXACTLY the plain global-cumsum survivors — ids spread over
+    ~180 chunk spans so the decomposition actually splits."""
+    from post_modern_stack_spark.operators.textstats import (
+        token_budget_keep_ids,
+    )
+
+    rows = [(i * 40_000, (i * 37) % 100 + 1) for i in range(300)]
+    sizes = spark.createDataFrame(rows, "doc_id long, __nt long")
+    plain = sorted(
+        r["doc_id"] for r in token_budget_keep_ids(sizes, 0.5).collect()
+    )
+    chunked = sorted(
+        r["doc_id"]
+        for r in token_budget_keep_ids(sizes, 0.5, chunked=True).collect()
+    )
+    assert plain == chunked
+    assert 0 < len(plain) < 300
+
+
+def test_curate_documents_chunked_budget_parity(spark):
+    """End-to-end: curate_documents(chunked_budget=True) returns the
+    same final survivor set as the plain form."""
+    from post_modern_stack_spark.operators.textstats import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i * 100_000,
+                "the "
+                + " ".join(f"w{i}x{j}" for j in range(12))
+                + f" tail{i}",
+                "en",
+                f"src{i % 3}",
+            )
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    bench_docs = docs.filter(F.col("doc_id") % 500_000 == 0)
+    plain = curate_documents(docs, bench_docs)["final"]
+    chunked = curate_documents(docs, bench_docs, chunked_budget=True)["final"]
+    a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in chunked.select("doc_id").collect())
+    assert a == b and len(a) > 0
 
 
 def test_bpe_encode_matches_reference_both_paths(spark):
