@@ -462,6 +462,70 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """[EXT] bigram-LM perplexity scoring (the CCNet filter one order
+    up from ``unigram_logprob``): train add-0.5-smoothed p(b|a) on the
+    corpus, score each doc's mean bigram log-prob + perplexity.
+
+    Scale shape: bigram facts collapse to (doc, bigram, tf) before any
+    join; the conditional table c(a,·) derives from the BIGRAM counts
+    (never a second corpus pass) and broadcasts with the vocab size.
+    ``dtf`` is consumed twice but NOT checkpointed — it is corpus-sized
+    (one row per distinct (doc, bigram)), the grain class whose
+    localCheckpoint OOM'd dsir_weights at 10M docs; two codegen'd
+    bigram passes measured FASTER than checkpoint materialization
+    (dsir 1M: 16.4 s two-pass vs 30 s checkpointed). Watch item: the
+    smoothed LM table ``p`` is bigram-vocab-sized and broadcast — fine
+    by Heaps' law into the millions, but a web-scale bigram vocab
+    wants the broadcast swapped for a shuffle join on ``big`` (one-
+    line change, same values)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    bigs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dtf = (
+        df.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigs).alias("big"))
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cab = dtf.groupBy("big").agg(F.sum("tf").alias("c_ab"))
+    ca = (
+        cab.select(
+            F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("a"), "c_ab"
+        )
+        .groupBy("a")
+        .agg(F.sum("c_ab").alias("c_a"))
+    )
+    vsz = (
+        df.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    p = (
+        cab.withColumn("a", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "big",
+            F.log(
+                (F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    mean_lp = F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
+    return (
+        dtf.join(F.broadcast(p), "big")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(mean_lp, 6).alias("avg_logprob"),
+            F.round(F.exp(-mean_lp), 4).alias("perplexity"),
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     text_col: str = "text",

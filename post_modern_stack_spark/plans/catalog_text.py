@@ -2391,53 +2391,11 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per distinct (doc, bigram)), the grain class whose
     localCheckpoint OOM'd dsir_weights at 10M docs; two codegen'd
     bigram passes measured FASTER than checkpoint materialization
-    (dsir 1M: 16.4 s two-pass vs 30 s checkpointed)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    bigs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    dtf = (
-        docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(bigs).alias("big"))
-        .groupBy("doc_id", "big")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    cab = dtf.groupBy("big").agg(F.sum("tf").alias("c_ab"))
-    ca = (
-        cab.select(
-            F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("a"), "c_ab"
-        )
-        .groupBy("a")
-        .agg(F.sum("c_ab").alias("c_a"))
-    )
-    vsz = (
-        docs.select(F.explode(toks).alias("tok"))
-        .agg(F.countDistinct("tok").alias("vsz"))
-    )
-    p = (
-        cab.withColumn("a", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
-        .join(F.broadcast(ca), "a")
-        .crossJoin(F.broadcast(vsz))
-        .select(
-            "big",
-            F.log(
-                (F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("vsz"))
-            ).alias("lp"),
-        )
-    )
-    mean_lp = F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
-    return (
-        dtf.join(F.broadcast(p), "big")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_bigrams"),
-            F.round(mean_lp, 6).alias("avg_logprob"),
-            F.round(F.exp(-mean_lp), 4).alias("perplexity"),
-        )
-    )
+    (dsir 1M: 16.4 s two-pass vs 30 s checkpointed). Logic in
+    textstats.bigram_perplexity (house style: catalog queries are
+    thin wrappers over operators, so scale probes can measure them
+    on synthetic corpora)."""
+    return textstats.bigram_perplexity(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -531,6 +531,7 @@ def probe_text_queries(spark, path: str):
         "text_stats": lambda: textstats.text_stats(load()),
         "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
         "unigram_logprob": lambda: textstats.unigram_logprob(load()),
+        "bigram_perplexity": lambda: textstats.bigram_perplexity(load()),
         "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
         "token_budget_plain": lambda: textstats.token_budget_keep_ids(
             load().select(
