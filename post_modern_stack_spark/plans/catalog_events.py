@@ -488,16 +488,12 @@ def q_predict_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.hit_rate_at_k(pred, "y_enc", "preds")
 
 
-@query("stratified_sample")  # rows-only: Spark-RNG-dependent row membership
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus sampling (LLM-pipeline staple: rebalance
-    classes/languages before training): ``sampleBy`` with per-stratum
-    fractions, seeded. Membership depends on Spark's partition RNG so
-    there is no SQL oracle; the pytest invariant checks the fractions."""
-    ev = load_table(spark, sf_dir, "events")
-    fractions = {"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 0.0}
-    sampled = ev.sampleBy("event_type", fractions, seed=42)
-    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+# stratified_sample (seeded ``sampleBy``) was retired from the catalog
+# in round 6 (VERDICT r05 item 5): its row membership depends on
+# Spark's partition RNG — engine-private by definition, so it could
+# never be oracle-paired — and ``stratified_sample_portable`` [O]
+# (arithmetic-hash per-stratum rates, green r05) covers the operator
+# with a hash-checked twin (COVERAGE.md §R census row removed with it).
 
 
 @query(

@@ -281,14 +281,17 @@ def q_lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 vector-modality dedup: all embedding pairs with cosine ≥ τ,
-    exact broadcast self-join baseline (the LSH-candidate variant in
-    operators/dedup.embedding_near_dups is the 100 TB path; its recall
-    vs this exact set is pytest-gated)."""
+    """K2 vector-modality dedup: all embedding pairs with cosine ≥ τ.
+    Size-dispatched ``candidates='auto'`` (VERDICT r05 item 4): at or
+    under the broadcast-safe row threshold the exact GEMM path runs
+    (the case at every driver SF — the oracle is the exhaustive pair
+    set); past it the LSH-bucketed candidates take over, so the
+    catalog path never collects an unbounded corpus to the driver.
+    LSH-vs-exact recall is pytest-gated (test_clustering)."""
     from post_modern_stack_spark.operators import dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.4, candidates="exact")
+    return dedup.embedding_near_dups(emb, threshold=0.4, candidates="auto")
 
 
 @query(
@@ -358,9 +361,10 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup",
-    oracle="""
+# Shared by semantic_dedup and its sharded/auto routing variants: the
+# per-pair cosine expression is identical across all three engine
+# paths, so keep/n_close are bit-identical and one oracle covers them.
+_SEMANTIC_DEDUP_ORACLE = """
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -379,8 +383,17 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(c.n_close, 0)::BIGINT AS n_close_lower,
            CASE WHEN c.id_b IS NULL THEN 1 ELSE 0 END AS keep
     FROM e LEFT JOIN close c ON c.id_b = e.vec_id
-    """,
-)
+"""
+
+# Force multi-block decomposition at driver SFs: sf0.01's ~200
+# embeddings over ~10 labels give ~20-member clusters, so 16-row
+# blocks exercise the block-pair join + i==j masking paths for real
+# (production default 8192 would collapse every test cluster to one
+# block and the parity check would prove nothing about sharding).
+_SHARD_ROWS = 16
+
+
+@query("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] SemDeDup semantic dedup: per-cluster cosine neighborhoods,
     min-id representative kept (operators/dedup.semantic_dedup). The
@@ -391,6 +404,40 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+@query("semantic_dedup_sharded", oracle=_SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup, straggler-proof form: the per-cluster O(n^2)
+    cosine pass decomposed into (cluster, block_i, block_j) GEMM tasks
+    so one giant cluster spreads across executors instead of
+    serializing into a single task (dedup.semantic_dedup_sharded;
+    measured 403.6 s -> 123.3 s under a planted 100k-member cluster at
+    1M docs). Identical per-pair cosine expression => bit-identical
+    keep/n_close, so the plain path's oracle applies verbatim."""
+    from post_modern_stack_spark.operators import dedup
+
+    return dedup.semantic_dedup_sharded(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.5,
+        shard_rows=_SHARD_ROWS,
+    )
+
+
+@query("semantic_dedup_auto", oracle=_SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup with size-based dispatch: clusters at or under
+    the block size run the zero-overhead one-task-per-cluster path,
+    oversized ones the block-pair path (dedup.semantic_dedup_auto;
+    measured 403.6 s -> 57.8 s under skew, no packing tax on the
+    well-sized majority). Same oracle — routing never changes values."""
+    from post_modern_stack_spark.operators import dedup
+
+    return dedup.semantic_dedup_auto(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.5,
+        shard_rows=_SHARD_ROWS,
     )
 
 

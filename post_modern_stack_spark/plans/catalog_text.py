@@ -640,25 +640,37 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] token-budget selection: greedy longest-first running total
-    over doc-grain metadata, cut at a 20k-token budget. The global
-    ordered window runs single-partition BY DESIGN — it operates on
-    the doc-grain metadata projection (two longs per doc), ~KB even at
-    100 TB of text; if the metadata itself were huge, the chunked
-    prefix-sum (operators/skew.chunked_running_sum) is the scale
-    path."""
-    from pyspark.sql import Window
+    over doc-grain metadata, cut at a 20k-token budget.
+
+    Scale shape (VERDICT r05 item 3 — the catalog plan IS the 100 TB
+    plan): the longest-first order is replayed through
+    skew.chunked_running_sum with ``order_col = -n_tokens`` and
+    ``chunk_span=1``, i.e. value-grain chunks. Docs sharing a token
+    count form one chunk: the intra-chunk doc_id-ordered window
+    parallelizes across distinct counts, and the serial offset pass
+    runs at length-histogram grain (≤ max doc length rows) — so no
+    task ever sorts the full doc-grain projection, which at 100 TB is
+    ~10⁹ rows, not the "~KB" a single-partition window assumes.
+    Integer token counts + the long-typed chunk offset keep cum_tokens
+    exact, so the oracle's plain global window is bit-identical."""
+    from post_modern_stack_spark.operators.skew import chunked_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens")
-    )
-    w = (
-        Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).withColumn("__negt", -F.col("n_tokens"))
+    running = chunked_running_sum(
+        d,
+        key_cols=[],
+        order_col="__negt",
+        tie_cols=["doc_id"],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+        chunk_span=1,
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 20000)
+        running.filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "cum_tokens")
     )
 
 
@@ -949,9 +961,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     token budget, reporting every stage's survivor count in one row —
     each stage keeps its operator's documented scale shape, stages are
     localCheckpoint-ed so funnel counts never re-run upstream
-    shuffles. Benchmark set = every 97th doc. The budget stage's
-    global running sum is the one sequential scan (chunked prefix-sum
-    in operators/skew.py is the 100 TB remedy)."""
+    shuffles. Benchmark set = every 97th doc. The budget stage runs
+    the chunked prefix-sum by default (skew.chunked_running_sum,
+    VERDICT r05 item 3) — parallel per-chunk windows over contiguous
+    doc_id spans, no single-task corpus sort; survivors are
+    bit-identical to the plain cumsum (integer token counts), so the
+    oracle is unchanged. Plan shape pinned in test_curation_round3."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
@@ -1909,6 +1924,90 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+@query("bpe_encode_tokens", oracle=_bpe_encode_oracle_sql())
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE encode (vocab.bpe_encode): train the 8-merge table
+    (vocab.bpe_train — driver-checked as bpe_train_merges), then
+    tokenize every document with it. Merges apply on the DISTINCT-WORD
+    table (vocab-sized), then broadcast-join back to corpus word
+    occurrences — one explode + one hash agg at corpus grain
+    regardless of merge-table size. The expression-fold word path is
+    used here (bit-identical to training's state rewrite); the pandas
+    UDF rank-priority path for production 30k-merge tables is
+    parity-tested in tests/test_operators.py. Oracle reuses the
+    unrolled merge-CTE chain (s8 = each word's final symbols) joined
+    back at doc grain (_bpe_encode_oracle_sql)."""
+    from post_modern_stack_spark.operators.vocab import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    return bpe_encode(docs, merges)
+
+
+@query(
+    "jsonl_docs_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+             AS text_csum
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] H11 connector value check: documents -> jsonl_docs writer
+    (committing _MANIFEST generation) -> jsonl_docs reader with a
+    pushed EqualTo('lang','en') filter -> per-source checksum
+    aggregate. The oracle aggregates the parquet truth directly, so a
+    hash match certifies byte-exact text round-trip AND pushed-filter
+    correctness end-to-end through the Python Data Source.
+
+    The shard directory is keyed by a hash of the FULL corpus path
+    plus this process's pid (ADVICE r05: a basename-keyed fixed /tmp
+    path collides across checkouts and is squattable on shared
+    hosts), written mode("overwrite") each call — the committing
+    writer makes a concurrent re-write invisible until its manifest
+    swap, so repeated invocations within a process are idempotent. A
+    fresh .load() per call sidesteps the Spark 4.1 bridge's
+    cached-scan caveat (tests/test_docsource.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from post_modern_stack_spark.sources import docsource
+
+    docsource.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_key = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pmss_jsonl_roundtrip",
+        f"{corpus_key}-{os.getpid()}",
+    )
+    docs.write.format("jsonl_docs").option("path", root).mode(
+        "overwrite"
+    ).save()
+    back = (
+        spark.read.format("jsonl_docs")
+        .schema(docsource.DOCUMENTS_SCHEMA)
+        .option("path", root)
+        .load()
+        .filter(F.col("lang") == "en")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).alias("text_csum"),
     )
 
 

@@ -83,7 +83,7 @@ DEFER_FROM_WINDOW: tuple[str, ...] = (
 # media_dedup_groups) was a bug to fix by re-scoping, not to allowlist.
 EXPECTED_EMPTY: frozenset[str] = frozenset()
 
-def driver_green() -> frozenset[str]:
+def driver_green(root: str | None = None) -> frozenset[str]:
     """Names with a green driver-correctness row in ANY recorded round.
 
     The driver checks a bounded window of ~50 queries per round, so
@@ -99,13 +99,16 @@ def driver_green() -> frozenset[str]:
     its predicates actually select rows (VERDICT round-3 flagged
     ``sql_param_extract``'s 0-row green as vacuous). Zero-row rows are
     ignored so the fixed query re-enters the driver window.
+
+    ``root`` overrides the directory scanned for CORRECTNESS files
+    (tests inject synthetic fixtures; production callers omit it).
     """
     import glob
     import json
     import os
 
     green = set(DRIVER_GREEN)
-    repo_root = os.path.dirname(
+    repo_root = root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):

@@ -82,6 +82,23 @@ def test_embedding_near_dups_exact_and_lsh_recall(spark):
     recall = len(lsh_pairs & planted) / len(planted)
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
+    # auto dispatch (VERDICT r05 item 4): under the broadcast-safe row
+    # threshold the default routes to exact — identical pair set...
+    auto = embedding_near_dups(emb, threshold=0.95, candidates="auto")
+    assert {(r.id_a, r.id_b) for r in auto.collect()} == got
+    # ...past it, to LSH: never a corpus-sized driver collect. A tiny
+    # forced threshold + permissive dial must reproduce the lsh set.
+    routed = embedding_near_dups(
+        emb,
+        threshold=0.95,
+        candidates="auto",
+        dim=dim,
+        bits=4,
+        n_tables=8,
+        exact_max_rows=10,
+    )
+    assert {(r.id_a, r.id_b) for r in routed.collect()} == lsh_pairs
+
 
 def test_corpus_broadcast_memo_is_session_scoped(spark):
     """The exact-GEMM corpus memo reuses one broadcast for repeated calls

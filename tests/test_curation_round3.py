@@ -426,7 +426,8 @@ def test_token_budget_chunked_parity_multichunk(spark):
     rows = [(i * 40_000, (i * 37) % 100 + 1) for i in range(300)]
     sizes = spark.createDataFrame(rows, "doc_id long, __nt long")
     plain = sorted(
-        r["doc_id"] for r in token_budget_keep_ids(sizes, 0.5).collect()
+        r["doc_id"]
+        for r in token_budget_keep_ids(sizes, 0.5, chunked=False).collect()
     )
     chunked = sorted(
         r["doc_id"]
@@ -436,9 +437,28 @@ def test_token_budget_chunked_parity_multichunk(spark):
     assert 0 < len(plain) < 300
 
 
+def test_token_budget_default_plan_is_chunked(spark):
+    """VERDICT r05 item 3: the catalog plans ARE the 100 TB plans. The
+    token-budget stage's DEFAULT must show the chunked prefix-sum —
+    parallel windows hash-partitioned on _chunk — not a single-task
+    global cumsum over the doc grain. The surviving SinglePartition
+    exchanges are the chunk-grain offset pass (rows ≈ corpus/span —
+    bounded), which is the decomposition's documented serial part."""
+    from post_modern_stack_spark.plans.catalog_text import (
+        q_curation_funnel,
+        q_token_budget_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_token_budget_sample, q_curation_funnel):
+        plan = _plan_of(q(spark, sf))
+        assert "hashpartitioning(_chunk" in plan, q.__name__
+
+
 def test_curate_documents_chunked_budget_parity(spark):
-    """End-to-end: curate_documents(chunked_budget=True) returns the
-    same final survivor set as the plain form."""
+    """End-to-end: the default (chunked_budget=True, the 100 TB plan)
+    returns the same final survivor set as the plain single-task
+    cumsum form."""
     from post_modern_stack_spark.operators.textstats import curate_documents
 
     docs = spark.createDataFrame(
@@ -456,8 +476,8 @@ def test_curate_documents_chunked_budget_parity(spark):
         "doc_id long, text string, lang string, source string",
     )
     bench_docs = docs.filter(F.col("doc_id") % 500_000 == 0)
-    plain = curate_documents(docs, bench_docs)["final"]
-    chunked = curate_documents(docs, bench_docs, chunked_budget=True)["final"]
+    plain = curate_documents(docs, bench_docs, chunked_budget=False)["final"]
+    chunked = curate_documents(docs, bench_docs)["final"]
     a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in chunked.select("doc_id").collect())
     assert a == b and len(a) > 0

@@ -46,6 +46,9 @@ EXECUTES_ON_BUILD = {
     "item_triangles", "lsh_top_k", "ivf_top_k", "pq_top_k",
     "embedding_near_dups", "knn_label_vote", "top_k_cosine",
     "semantic_dedup_kmeans", "ann_recall_report",
+    # r06 promotions: auto collects cluster sizes to route, encode
+    # trains the merge table, roundtrip writes through the connector
+    "semantic_dedup_auto", "bpe_encode_tokens", "jsonl_docs_roundtrip",
 }
 
 
