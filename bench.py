@@ -42,8 +42,14 @@ import time
 
 import pandas as pd
 
-REPS = 3  # samples per query (median reported)
-EXTRA_SWEEP_BUDGET_SEC = 420.0  # stop sampling past this cumulative wall clock
+# samples per query (median reported) and the cumulative-wall-clock
+# cutoff for sweeps 2+. Driver runs keep the defaults; local deep
+# measurement (VERDICT r05 item 6: full 3-sample medians on a quiet
+# host) overrides via env without forking the harness.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+EXTRA_SWEEP_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+)
 
 
 def main() -> None:

@@ -319,6 +319,23 @@ def _train_centroids(
     return centroids
 
 
+def quantized_centroids(
+    dim: int, n_centroids: int, seed: int = 42, scale: int = 1000
+) -> list[list[int]]:
+    """Fixed-seed integer-quantized coarse-quantizer codebook, shape
+    [n_centroids][dim] — the IVF analog of :func:`quantized_planes`
+    (VERDICT r05 item 7): with vectors quantized to ``round(x*scale)``
+    int64, the nearest-cell score ``2·(xq·cq) − |cq|²`` is EXACT
+    integer arithmetic, so the whole assignment — and therefore the
+    approximate result set — is deterministic and DuckDB-replayable.
+    A random codebook trades recall vs a trained one, but the operator
+    shape (assign → probe → exact rerank) is identical."""
+    return [
+        [int(_round_half_away(w * scale)) for w in c]
+        for c in _hyperplanes(dim, n_centroids, seed)
+    ]
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -327,6 +344,9 @@ def ivf_top_k(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    quantize_scale: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-K via IVF (inverted-file) partitioning — the
     FAISS-style scale path complementary to RP-LSH:
@@ -341,25 +361,57 @@ def ivf_top_k(
     ~|Q|·|C|·(n_probe/n_centroids); recall rises with n_probe. Cells
     skew when data clusters — cap cell size or split hot cells at
     100 TB (same remedy as LSH hot buckets).
+
+    With ``quantize_scale`` set, the trained quantizer is replaced by
+    the fixed-seed integer codebook (:func:`quantized_centroids`) and
+    cell assignment runs in exact integer math (vectors quantized to
+    ``round(x*scale)``; score ``2·(xq·cq) − |cq|²`` maximized, ties →
+    lowest cell) — deterministic across engines, which is what lets
+    the catalog's ``ivf_top_k`` carry a DuckDB oracle. Recall of the
+    TRAINED path is pytest-gated separately; quantized mode exists for
+    cross-engine verifiability, same trade as ``rp_lsh_top_k``'s
+    quantized mode.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    centroids = _train_centroids(corpus, vec_col, n_centroids)
-    ct = centroids.T  # (dim, n_centroids)
+    if quantize_scale is not None:
+        if dim is None:
+            raise ValueError("quantized IVF needs an explicit dim")
+        centroids_q = np.array(
+            quantized_centroids(dim, n_centroids, seed, quantize_scale),
+            dtype=np.int64,
+        )
+        ctq = centroids_q.T  # (dim, n_centroids)
+        sq = (centroids_q**2).sum(axis=1)  # |cq|² per cell
+
+        def _cell_scores(mat: "np.ndarray") -> "np.ndarray":
+            mq = _round_half_away(mat * quantize_scale).astype(np.int64)
+            return 2 * (mq @ ctq) - sq  # exact int64
+
+    else:
+        centroids = _train_centroids(corpus, vec_col, n_centroids)
+        ct = centroids.T  # (dim, n_centroids)
+        csq = (centroids**2).sum(axis=1)
+
+        def _cell_scores(mat: "np.ndarray") -> "np.ndarray":
+            # nearest by L2: argmin(|x|²-2x·c+|c|²) = argmax(x·c-|c|²/2)
+            return mat @ ct - csq / 2.0
 
     @pandas_udf("int")
     def nearest_cell(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy()).astype(np.float64)
-        # nearest by L2: argmin(|x|^2 - 2x·c + |c|^2) = argmax(x·c - |c|^2/2)
-        scores = mat @ ct - (centroids**2).sum(axis=1) / 2.0
+        scores = _cell_scores(mat)
+        # argmax takes the FIRST max → ties break to the lowest cell,
+        # matching the oracle's ORDER BY score DESC, cell
         return pd.Series(scores.argmax(axis=1).astype("int32"))
 
     @pandas_udf("array<int>")
     def probe_cells(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy()).astype(np.float64)
-        scores = mat @ ct - (centroids**2).sum(axis=1) / 2.0
-        top = np.argsort(-scores, axis=1)[:, :n_probe]
+        scores = _cell_scores(mat)
+        # stable sort of -scores → score desc, ties by ascending cell
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
     c = corpus.select(

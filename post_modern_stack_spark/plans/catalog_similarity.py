@@ -168,13 +168,90 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_top_k")  # rows-only: approximate by design (probe recall < 1)
+def _ivf_oracle_sql(
+    dim: int, n_centroids: int, n_probe: int, scale: int
+) -> str:
+    """Replayable DuckDB twin of the quantized-IVF run (VERDICT r05
+    item 7, the same taming as LSH): the fixed-seed integer codebook
+    embeds as literals, the nearest-cell score ``2·(vq·cq) − |cq|²``
+    is exact integer math on both engines, probes are the top
+    ``n_probe`` cells per query (score desc, cell asc — matching
+    numpy's stable argsort), and candidates rank by the same exact
+    cosine as top_k_cosine."""
+    cents = similarity.quantized_centroids(dim, n_centroids, scale=scale)
+    values = ",\n             ".join(
+        f"({cell}, [{','.join(str(w) for w in c)}], {sum(w * w for w in c)})"
+        for cell, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * {scale})) AS vq
+      FROM embeddings
+    ),
+    cent(cell, cq, sq) AS (
+      VALUES {values}
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             2 * list_sum(list_transform(range(1, {dim + 1}),
+                                         i -> e.vq[i] * c.cq[i])) - c.sq
+               AS score
+      FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cell) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM scores
+      WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cell) <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> qe.v[i] * ce.v[i]))
+                   / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ce.v, x -> x * x)))),
+                   6) AS cos_sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """
+
+
+@query(
+    "ivf_top_k",
+    oracle=_ivf_oracle_sql(dim=64, n_centroids=16, n_probe=4, scale=1000),
+)
 def q_ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path 2: IVF-partitioned approximate top-K (16 cells,
-    4 probes → ~25% of the corpus scored per query)."""
+    4 probes → ~25% of the corpus scored per query). Run in quantized
+    fixed-codebook mode (exact integer cell assignment) so the whole
+    approximate result is deterministic and DuckDB-replayable — the
+    same taming as lsh_top_k; the TRAINED-quantizer path's recall is
+    pytest-gated (test_clustering)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return similarity.ivf_top_k(emb, queries, k=_K)
+    return similarity.ivf_top_k(
+        emb, queries, k=_K, quantize_scale=1000, dim=64
+    )
 
 
 def _lsh_sql_parts(
