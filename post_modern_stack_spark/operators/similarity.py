@@ -558,6 +558,9 @@ def pq_top_k(
     m: int = 4,
     n_codes: int = 16,
     refine_factor: int = 3,
+    quantize_scale: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-K via product quantization (PQ, Jégou et al.
     TPAMI'11) — the memory-compression scale path complementary to
@@ -581,62 +584,122 @@ def pq_top_k(
 
     Output: (query_id, neighbor_id, cos_sim, rank) — same contract as
     brute_force_top_k, self-matches excluded.
+
+    With ``quantize_scale`` set (r06, same taming as quantized IVF):
+    the trained codebooks are replaced by fixed-seed INTEGER
+    sub-codebooks (:func:`quantized_centroids` per subspace), vectors
+    quantize to ``round(x*scale)``, and BOTH the per-subspace code
+    assignment (argmin of ``|cq|² − 2·xq·cq``) and the ADC candidate
+    scores (sums of integer codeword dots) are exact integer math —
+    deterministic across engines, so the whole encode→ADC→refine
+    pipeline is DuckDB-replayable. Normalization is skipped in this
+    mode (a float divide would break integer exactness); the exact
+    cosine rerank restores true ranking among the candidates.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    # --- train per-subspace codebooks on a bounded normalized sample
-    n = corpus.count()
-    cap = 10_000
-    frac = min(1.0, cap / max(n, 1))
-    rows = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=frac, seed=42)
-        .limit(cap)
-        .collect()
-    )
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    dim = mat.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    rng = np.random.RandomState(42)
-    books = []
-    for s in range(m):
-        xs = mat[:, s * sub : (s + 1) * sub]
-        cb = xs[rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)].copy()
-        for _ in range(5):
-            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cb)):
-                members = xs[assign == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
-        books.append(cb)
-    books_arr = np.stack(books)  # (m, n_codes, sub)
+    if quantize_scale is not None:
+        if dim is None:
+            raise ValueError("quantized PQ needs an explicit dim")
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        books_arr = np.stack(
+            [
+                np.array(
+                    quantized_centroids(
+                        sub, n_codes, seed + 7000 + s, quantize_scale
+                    ),
+                    dtype=np.int64,
+                )
+                for s in range(m)
+            ]
+        )  # (m, n_codes, sub) int64
+        books_sq = (books_arr.astype(np.int64) ** 2).sum(axis=2)  # (m, n_codes)
 
-    @pandas_udf("array<int>")
-    def encode(emb: pd.Series) -> pd.Series:
-        x = np.vstack(emb.to_numpy()).astype(np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for s in range(m):
-            xs = x[:, s * sub : (s + 1) * sub]
-            d2 = ((xs[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+        @pandas_udf("array<int>")
+        def encode(emb: pd.Series) -> pd.Series:
+            x = np.vstack(emb.to_numpy()).astype(np.float64)
+            xq = _round_half_away(x * quantize_scale).astype(np.int64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = xq[:, s * sub : (s + 1) * sub]
+                # argmin |xs−cb|² = argmin(|cb|² − 2·xs·cb): exact ints;
+                # first-min tie-break → lowest code, as the oracle orders
+                score = books_sq[s] - 2 * (xs @ books_arr[s].T)
+                codes[:, s] = score.argmin(axis=1)
+            return pd.Series(list(codes))
 
-    @pandas_udf("double")
-    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
-        q = np.vstack(qv.to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        c = np.vstack(codes.to_numpy()).astype(np.int64)
-        score = np.zeros(len(q))
+        @pandas_udf("double")
+        def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+            q = np.vstack(qv.to_numpy()).astype(np.float64)
+            qq = _round_half_away(q * quantize_scale).astype(np.int64)
+            c = np.vstack(codes.to_numpy()).astype(np.int64)
+            score = np.zeros(len(q), dtype=np.int64)
+            for s in range(m):
+                qs = qq[:, s * sub : (s + 1) * sub]
+                score += np.einsum(
+                    "nd,nd->n", qs, books_arr[s][c[:, s]]
+                ).astype(np.int64)
+            # integer-valued; double carries it exactly below 2^53
+            return pd.Series(score.astype(np.float64))
+
+    else:
+        # --- train per-subspace codebooks on a bounded normalized sample
+        n = corpus.count()
+        cap = 10_000
+        frac = min(1.0, cap / max(n, 1))
+        rows = (
+            corpus.select(vec_col)
+            .sample(withReplacement=False, fraction=frac, seed=42)
+            .limit(cap)
+            .collect()
+        )
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        dim = mat.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        rng = np.random.RandomState(42)
+        books = []
         for s in range(m):
-            qs = q[:, s * sub : (s + 1) * sub]
-            score += np.einsum("nd,nd->n", qs, books_arr[s][c[:, s]])
-        return pd.Series(score)
+            xs = mat[:, s * sub : (s + 1) * sub]
+            cb = xs[
+                rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)
+            ].copy()
+            for _ in range(5):
+                d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(cb)):
+                    members = xs[assign == c]
+                    if len(members):
+                        cb[c] = members.mean(axis=0)
+            books.append(cb)
+        books_arr = np.stack(books)  # (m, n_codes, sub)
+
+        @pandas_udf("array<int>")
+        def encode(emb: pd.Series) -> pd.Series:
+            x = np.vstack(emb.to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d2 = ((xs[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            return pd.Series(list(codes))
+
+        @pandas_udf("double")
+        def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+            q = np.vstack(qv.to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            c = np.vstack(codes.to_numpy()).astype(np.int64)
+            score = np.zeros(len(q))
+            for s in range(m):
+                qs = q[:, s * sub : (s + 1) * sub]
+                score += np.einsum("nd,nd->n", qs, books_arr[s][c[:, s]])
+            return pd.Series(score)
 
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")

@@ -407,16 +407,104 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
-@query("pq_top_k")  # rows-only: approximate by design (codebook quantization)
+def _pq_oracle_sql(
+    dim: int, m: int, n_codes: int, refine_factor: int, scale: int
+) -> str:
+    """Replayable DuckDB twin of the quantized-PQ run (r06, extending
+    the ivf/lsh taming to the last similarity scale path): fixed-seed
+    integer sub-codebooks embed as VALUES literals; per-subspace code
+    assignment minimizes the exact integer score ``|cq|² − 2·xq·cq``
+    (ties → lowest code, matching numpy argmin's first-min); ADC
+    candidate scores are integer codeword-dot sums; the final ranking
+    is the exact cosine of the true vectors over the deterministic
+    candidate cut."""
+    sub = dim // m
+    rows = []
+    for s in range(m):
+        cents = similarity.quantized_centroids(
+            sub, n_codes, seed=42 + 7000 + s, scale=scale
+        )
+        for code, c in enumerate(cents):
+            lits = ",".join(str(w) for w in c)
+            rows.append(f"({s}, {code}, [{lits}], {sum(w * w for w in c)})")
+    values = ",\n             ".join(rows)
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * {scale})) AS vq
+      FROM embeddings
+    ),
+    cb(s, code, cw, sq) AS (
+      VALUES {values}
+    ),
+    assign AS (
+      SELECT e.vec_id, cb.s, cb.code
+      FROM e CROSS JOIN cb
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id, cb.s
+        ORDER BY cb.sq - 2 * list_sum(list_transform(range(1, {sub + 1}),
+                     i -> e.vq[cb.s * {sub} + i] * cb.cw[i])) ASC,
+                 cb.code ASC) = 1
+    ),
+    q AS (SELECT vec_id, vq FROM e WHERE vec_id < {_N_QUERIES}),
+    adc AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             sum(list_sum(list_transform(range(1, {sub + 1}),
+                 i -> q.vq[a.s * {sub} + i] * cb.cw[i]))) AS adc
+      FROM q JOIN assign a ON a.vec_id != q.vec_id
+      JOIN cb ON cb.s = a.s AND cb.code = a.code
+      GROUP BY q.vec_id, a.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, neighbor_id)
+              <= {_K * refine_factor}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> qe.v[i] * ce.v[i]))
+                   / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ce.v, x -> x * x)))),
+                   6) AS cos_sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """
+
+
+@query(
+    "pq_top_k",
+    oracle=_pq_oracle_sql(dim=64, m=8, n_codes=64, refine_factor=6, scale=1000),
+)
 def q_pq_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path 3: product-quantization approximate top-K (m=8
     subspaces × 64 codes → vectors scan as 8 bytes instead of D·4 —
     32× compression at dim 64; ADC scoring + exact rerank of 6k
-    candidates)."""
+    candidates). Run in quantized fixed-codebook mode (exact integer
+    code assignment + integer ADC) so the whole approximate result is
+    deterministic and DuckDB-replayable — same taming as lsh_top_k /
+    ivf_top_k; the TRAINED-codebook path's recall is pytest-gated."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return similarity.pq_top_k(
-        emb, queries, k=_K, m=8, n_codes=64, refine_factor=6
+        emb,
+        queries,
+        k=_K,
+        m=8,
+        n_codes=64,
+        refine_factor=6,
+        quantize_scale=1000,
+        dim=64,
     )
 
 

@@ -43,9 +43,9 @@ EXECUTES_ON_BUILD = {
     "embedding_whiten", "language_id", "predict_hit_rate",
     "encode_sessions", "near_dup_clusters", "near_dup_clusters_portable",
     "dedup_keep_best", "item_pagerank", "item_reachability",
-    # ivf_top_k left OUT since r06: quantized fixed-codebook mode has
-    # no training collect, so its plan compiles lazily and gets swept
-    "item_triangles", "lsh_top_k", "pq_top_k",
+    # ivf_top_k / pq_top_k left OUT since r06: quantized fixed-codebook
+    # mode has no training collect, so their plans compile lazily
+    "item_triangles", "lsh_top_k",
     "embedding_near_dups", "knn_label_vote", "top_k_cosine",
     "semantic_dedup_kmeans", "ann_recall_report",
     # r06 promotions: auto collects cluster sizes to route, encode
