@@ -368,14 +368,25 @@ def substring_dup_share(
     Lee et al. 2022, which drops repeated >=50-token spans; n=8 here
     for the tiny synthetic vocabulary).
 
-    Scale shape: grams stay inside the array (transform over a
-    sequence, no position explode), each doc contributes each gram
-    once (distinct at doc grain bounds hot-gram fan-out), and the
-    cross-doc frequency is a hash AGGREGATE on the gram key whose
-    dup-key output left-joins back onto the same gram-key exchange —
-    Catalyst reuses the shuffle, so the gram set moves once and is
-    never fully SORTED (a count window over the gram partition needs
-    that sort: measured 89 s vs 64 s at 1M docs / ~50M grams). With
+    Scale shape (uniq-subtract form, r06): grams stay inside the array
+    (transform over a sequence), each doc contributes each gram once
+    (array_distinct at doc grain), and the corpus-grain work is ONE
+    gram-key exchange feeding a count+min aggregate — both partials
+    are map-side combinable, so a pathologically hot gram collapses
+    before the shuffle (a collect_list variant measured faster at
+    small SFs but buffers every holder of a hot gram in one task —
+    rejected). The per-doc dup count is then DERIVED, never joined at
+    gram grain: a gram with c == 1 belongs to exactly one doc
+    (min(doc_id) IS that doc), so
+
+        n_dup_grams(doc) = n_grams(doc) − #{grams unique to doc},
+
+    where n_grams comes from a scan-only ``size(grams)`` projection
+    and the unique counts from the tiny gkey-grain aggregate. The
+    earlier agg+join-back form rebuilt AND re-exploded the gram set
+    for the join probe (broadcast join ⇒ no exchange to reuse):
+    measured 58.6 s vs 44.4 s for this form at 1M docs / ~50M grams,
+    and the count-window form needs a full gram sort (89 s). With
     ``hashed_keys`` the exchange moves 8-byte xxhash64 keys, not gram
     strings (collision odds ~ (#grams)^2 / 2^64 — negligible).
     """
@@ -394,20 +405,24 @@ def substring_dup_share(
             (F.xxhash64("ngram") if hashed_keys else F.col("ngram")).alias("gkey"),
         )
     )
-    dup_keys = (
+    uniq = (
         per_gram.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("gkey", F.lit(1).alias("isdup"))
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    totals = df.filter(F.size(toks) >= n).select(
+        "doc_id", F.size(grams).cast("bigint").alias("n_grams")
     )
     return (
-        per_gram.join(dup_keys, "gkey", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("isdup"), F.lit(0)).cast("bigint")).alias(
-                "n_dup_grams"
-            ),
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (
+                F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))
+            ).alias("n_dup_grams"),
         )
         .select(
             "doc_id",

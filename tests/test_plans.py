@@ -162,13 +162,25 @@ def _exchange_count(plan: str) -> int:
     )
 
 
-def test_substring_dup_share_reuses_gram_exchange(spark):
-    """The gram-key exchange must serve BOTH the dup-key aggregate and
-    the join back (Catalyst exchange reuse): 2 exchanges total (gram
-    key + doc key). A third exchange means the gram set is being
-    shuffled twice again (the 89s-vs-64s regression at 1M docs)."""
+def test_substring_dup_share_single_gram_exchange(spark):
+    """The uniq-subtract form (r06): the gram set crosses the wire
+    EXACTLY once (gram-key count+min aggregate) and the gram array is
+    exploded exactly once — per-doc dup counts are derived as
+    n_grams − n_uniq via a doc-grain join, never a gram-grain
+    join-back (the old form re-exploded the grams as a broadcast-join
+    probe: 58.6 s vs 44.4 s at 1M docs). 2 exchanges total (gram key
+    + unique-count doc key); a third means the gram set is being
+    shuffled twice again."""
+    import re
+
     plan = plan_of(spark, "substring_dup_share")
     assert _exchange_count(plan) == 2, plan
+    gen_nodes = [
+        l
+        for l in plan.splitlines()
+        if re.match(r"^\(\d+\) Generate", l.strip())
+    ]
+    assert len(gen_nodes) == 1, plan
 
 
 def test_m4_downsample_single_exchange_partial_agg(spark):
