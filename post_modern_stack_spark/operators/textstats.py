@@ -334,16 +334,22 @@ def contamination_pairs(
         # exploding positions first and slicing per row was measured
         # ~40% slower (every exploded row drags a copy of the token
         # array through the generator); the interpreted lambda is
-        # cheaper than that memory traffic
+        # cheaper than that memory traffic. Per-doc dedup happens
+        # in-array too (array_distinct BEFORE the explode): a
+        # row-level distinct() after it would shuffle the whole gram
+        # set just to dedup within each doc — the (doc, gram) pairs
+        # are already unique across docs by construction. Local bench
+        # timing is unchanged (the gram set is small at bench SFs);
+        # the removed exchange is corpus-sized at 100 TB.
         toks = F.split(F.col(text_col), r"\s+")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-        return (
-            df.filter(F.size(toks) >= n)
-            .select(F.col("doc_id").alias(id_alias), F.explode(grams).alias("ngram"))
-            .distinct()
+        return df.filter(F.size(toks) >= n).select(
+            F.col("doc_id").alias(id_alias), F.explode(grams).alias("ngram")
         )
 
     c = doc_ngrams(corpus, "corpus_doc_id")
