@@ -439,6 +439,98 @@ def substring_dup_share(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    hashed_keys: bool = True,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 substring dedup
+    (``substring_dup_share`` is the measurement half): drop every
+    token covered by a duplicated n-gram span — an n-gram occupying
+    positions [p, p+n) is duplicated iff it occurs more than once in
+    the corpus, counting every position of every document (a span
+    repeated WITHIN one document is still a repeat, per the paper).
+
+    Returns (id, n_tokens, n_kept, kept_text): the original token
+    count, the surviving count, and the surviving tokens re-joined by
+    single spaces in original order.
+
+    Scale shape: the (doc, position, gram-key) grain explodes once;
+    duplicated keys come from a count aggregate at gram-key grain
+    (map-side partials — hot grams collapse before the shuffle); the
+    position-resolution join is an equi-join on the gram key (needed:
+    removal is positional, unlike the share's derivable count) whose
+    build side carries ONLY duplicated keys — the heavy unique tail
+    never joins. Duplicated positions collapse to a per-doc list
+    (bounded by doc length), rejoin at DOC grain, and the span-mask
+    trim runs as one Arrow-batched pandas pass (a boolean mask per
+    doc; the expression-tree alternative is O(L·|dup spans|)
+    interpreted per doc). With ``hashed_keys`` the exchange moves
+    8-byte xxhash64 keys, not gram strings.
+    """
+    import numpy as np
+
+    toks = F.split(F.col(text_col), r"\s+")
+    gram_at = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    pos_grams = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.posexplode(gram_at).alias("p", "ngram"))
+        .select(
+            id_col,
+            "p",
+            (F.xxhash64("ngram") if hashed_keys else F.col("ngram")).alias(
+                "gkey"
+            ),
+        )
+    )
+    dup_keys = (
+        pos_grams.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gkey")
+    )
+    dup_positions = (
+        pos_grams.join(dup_keys, "gkey")
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__dups"))
+    )
+    src = df.select(id_col, F.col(text_col).alias("__text")).join(
+        dup_positions, id_col, "left"
+    )
+
+    schema = f"{id_col} long, n_tokens long, n_kept long, kept_text string"
+
+    def trim(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, n_tok, n_kept, kept = [], [], [], []
+            for _, row in pdf.iterrows():
+                words = row["__text"].split()
+                mask = np.ones(len(words), dtype=bool)
+                dups = row["__dups"]
+                if dups is not None and len(dups):
+                    for p in dups:
+                        mask[p : p + n] = False
+                ids.append(row[id_col])
+                n_tok.append(len(words))
+                n_kept.append(int(mask.sum()))
+                kept.append(" ".join(w for w, m in zip(words, mask) if m))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": n_tok,
+                    "n_kept": n_kept,
+                    "kept_text": kept,
+                }
+            )
+
+    return src.mapInPandas(trim, schema=schema)
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Unigram language-model scoring: train token frequencies on the
     corpus itself, then score each document's mean token log-probability

@@ -794,6 +794,53 @@ def q_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup_trim",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks) - 7)) AS p, toks
+      FROM t WHERE len(toks) >= 8
+    ),
+    pg AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(toks, p + 1, p + 8), ' ') AS gram
+      FROM pos
+    ),
+    dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) > 1),
+    dp AS (SELECT doc_id, p FROM pg JOIN dup USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, p + r.k AS j FROM dp, range(8) r(k)),
+    tok AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS j,
+             unnest(toks) AS w
+      FROM t
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cov.j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN cov.j IS NULL THEN tok.w END,
+                               ' ' ORDER BY tok.j), '') AS kept_text
+    FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+    GROUP BY tok.doc_id
+    """,
+)
+def q_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the REMOVAL half of Lee et al. 2022 substring dedup
+    (textstats.remove_duplicate_spans): every token covered by a
+    corpus-duplicated 8-gram span is dropped and the surviving tokens
+    re-join in original order — the operation the paper applies to
+    training corpora, complementing the doc-grain `substring_dup_share`
+    measurement. One positional gram explode, a count aggregate at
+    gram-key grain, a duplicated-keys-only position join, and an
+    Arrow-batched span-mask trim; the oracle replays positions,
+    coverage, and the trimmed string byte-for-byte."""
+    return textstats.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+
+
+@query(
     "unigram_logprob",
     oracle="""
     WITH occ AS (

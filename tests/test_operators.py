@@ -266,6 +266,43 @@ def test_pq_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"PQ recall collapsed: {recall}"
 
 
+def test_remove_duplicate_spans_planted(spark):
+    """Lee'22 span REMOVAL semantics on planted fixtures: a cross-doc
+    repeated 8-token span disappears from both holders (surrounding
+    unique tokens survive), a WITHIN-doc repeat is removed at both
+    positions, and a fully-unique doc — or one too short to hold any
+    8-gram — passes through byte-identical."""
+    from post_modern_stack_spark.operators.textstats import (
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(8))
+    rows = [
+        (0, f"alpha beta {span} gamma delta"),
+        (1, f"eps zeta {span} eta theta"),
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (3, f"{span} mid0 mid1 {span}"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=8).collect()}
+
+    assert got[0]["kept_text"] == "alpha beta gamma delta"
+    assert got[1]["kept_text"] == "eps zeta eta theta"
+    assert (got[0]["n_tokens"], got[0]["n_kept"]) == (12, 4)
+    # unique doc: untouched
+    assert got[2]["kept_text"] == rows[2][1]
+    assert got[2]["n_kept"] == got[2]["n_tokens"] == 10
+    # within-doc repeat: both occurrences removed; the middle tokens
+    # survive only where no duplicated 8-gram covers them — here the
+    # spans 'dup0..dup7' occur at positions 0 and 10, and every
+    # 8-gram crossing the middle is unique, so mid0/mid1 survive
+    assert got[3]["kept_text"] == "mid0 mid1"
+    # sub-n doc: passes through
+    assert got[4]["kept_text"] == "tiny doc"
+    assert got[4]["n_kept"] == 2
+
+
 def test_curation_pipeline_stages(spark):
     """Planted fixtures must fall at the right stage: junk fails
     quality, a byte-identical copy dies at exact dedup, a benchmark
