@@ -40,15 +40,29 @@ def exact_dedup(
     )
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingle set of a whitespace-tokenized text column."""
-    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingle set over an ALREADY-PROJECTED token-array
+    attribute. Callers must materialize ``split(text)`` to a column
+    first: interpreted higher-order-function eval re-evaluates
+    non-attribute children per element, so slicing an inline split()
+    inside the transform re-ran the split once per shingle (measured
+    3.5× on the gram stage at sf0.1, r07)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingle set of a whitespace-tokenized text column.
+
+    Prefer projecting ``split(text)`` to a column and calling
+    ``shingles_from_tokens`` — this inline form re-splits the text
+    once per shingle under interpreted HOF eval (see there)."""
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+    return shingles_from_tokens(toks, n)
 
 
 MINHASH_P = 1_000_000_007
@@ -77,7 +91,12 @@ def minhash_signatures(
     64 times inside one projection (measured 16× slower at sf0.1).
     """
     sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+            "shingle"
+        ),
     )
     if hash_mode == "md5":
         # portable k-permutation family: affine maps of a 60-bit md5
@@ -191,13 +210,23 @@ def jaccard_pairs(
     explode → self-join on shingle → pair-count agg → |A∩B| /
     (|A|+|B|−|A∩B|). The join key is a 64-bit shingle hash, not the
     string. Deterministic, so DuckDB-oracle-checkable.
+
+    The shingle array is built over a PROJECTED token attribute and
+    exploded as an INLINE expression, not a projected alias: exploding
+    an alias lets InferFiltersFromGenerate add a size()>0 filter on it
+    that predicate pushdown then re-inlines below the token projection,
+    re-running split() once per shingle per row at the scan (the rule
+    skips expensive inline children, SPARK-36715). size+explode build
+    the array twice per row — per-row attribute work, vs per-element
+    re-splitting.
     """
+    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
     sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
     ).select(
         id_col,
-        F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
+        F.size(sh_arr).alias("n_sh"),
+        F.explode(sh_arr).alias("shingle"),
     ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -491,6 +520,16 @@ def embedding_near_dups(
     if candidates == "auto":
         n = embeddings.count()
         candidates = "exact" if n <= exact_max_rows else "lsh"
+        if candidates == "lsh":
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dups: corpus has {n} rows > "
+                f"exact_max_rows={exact_max_rows}; auto-routing to LSH "
+                "candidates (recall < 1). Pass candidates='exact' and "
+                "more executor memory to force exhaustive output.",
+                stacklevel=2,
+            )
 
     if candidates == "exact":
         import numpy as np
@@ -575,9 +614,17 @@ def jaccard_pairs_prefix(
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
 
+    # inline-expression generator child + projected token attribute:
+    # see jaccard_pairs — an alias child gets an inferred size()>0
+    # filter pushed below the token projection, re-splitting per shingle
+    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
     sh = (
-        df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks"))
+        .select(
+            id_col,
+            F.size(sh_arr).alias("n_sh"),
+            F.explode(sh_arr).alias("shingle"),
+        )
         .select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
     )
     freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
@@ -820,8 +867,15 @@ def semantic_dedup_sharded(
     def run(batches: "pd.DataFrame"):
         for pdf in batches:
             out_id, out_cl, out_n = [], [], []
-            for _, task in pdf.iterrows():
-                r_items, c_items = task["__rows"], task["__cols"]
+            # zip over column arrays, not iterrows — the per-row Series
+            # construction dominates when the GEMM blocks are small
+            for cl, bj, bi, r_items, c_items in zip(
+                pdf["__cl"].values,
+                pdf["__bj"].values,
+                pdf["__bi"].values,
+                pdf["__rows"].values,
+                pdf["__cols"].values,
+            ):
                 rid = [it[id_col] for it in r_items]
                 rmat = np.array([it[vec_col] for it in r_items], dtype=np.float64)
                 cid = np.array([it[id_col] for it in c_items])
@@ -832,11 +886,11 @@ def semantic_dedup_sharded(
                 cn[cn == 0] = 1.0
                 sims = (rmat @ cmat.T) / np.outer(rn, cn)
                 close = sims >= threshold
-                if task["__bi"] == task["__bj"]:
+                if bi == bj:
                     rid_arr = np.asarray(rid)
                     close &= cid[None, :] < rid_arr[:, None]
                 out_id.extend(rid)
-                out_cl.extend([task["__cl"]] * len(rid))
+                out_cl.extend([cl] * len(rid))
                 out_n.extend(close.sum(axis=1).astype("int64").tolist())
             yield pd.DataFrame(
                 {id_col: out_id, cluster_col: out_cl, "__partial": out_n}

@@ -336,6 +336,51 @@ def quantized_centroids(
     ]
 
 
+def quantized_assign(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """One exact-integer nearest-centroid assignment against the
+    fixed-seed integer codebook (:func:`quantized_centroids`) — the
+    DuckDB-replayable HALF of k-means (VERDICT r06 item 7, the same
+    taming as quantized IVF/PQ): vectors quantize to ``round(x*scale)``
+    int64 and the nearest cell maximizes the exact integer score
+    ``2·(xq·cq) − |cq|²`` (ties → lowest cell, matching numpy argmax's
+    first-max), so assignments replay bit-exactly in plain SQL. The
+    float-ITERATIVE Lloyd trainer (:func:`kmeans_lloyd`) stays
+    pytest-gated (test_clustering planted blobs) — training is not
+    SQL-replayable, the assignment step is.
+
+    Scale shape: centroids ride the Arrow UDF closure (k×dim ints);
+    one batched integer GEMM per Arrow batch; zero shuffles — the
+    output inherits the input partitioning.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    centroids_q = np.array(
+        quantized_centroids(dim, k, seed, scale), dtype=np.int64
+    )
+    ctq = centroids_q.T
+    sq = (centroids_q**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mq = _round_half_away(mat * scale).astype(np.int64)
+        scores = 2 * (mq @ ctq) - sq
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    return df.select(
+        F.col(id_col), nearest_cell(F.col(vec_col)).alias("cluster")
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -274,17 +274,22 @@ def chunk_documents(
     thrashed a single JVM ~100× slower; building the chunk strings
     before the generator keeps each output row self-contained.
     """
-    toks = F.split(F.col(text_col), r"\s+")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    # token array projected to an attribute first — interpreted HOF
+    # eval re-runs non-attribute children per element, so the inline
+    # form re-split the text once per chunk (see substring_dup_share)
+    tc = F.col("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tc) - 1, F.lit(0)), F.lit(stride))
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
             i.alias("chunk_idx"),
-            F.size(F.slice(toks, s + 1, chunk_tokens)).alias("n_chunk_tokens"),
-            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.size(F.slice(tc, s + 1, chunk_tokens)).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(tc, s + 1, chunk_tokens)).alias("chunk_text"),
         ),
     )
-    return df.select("doc_id", F.inline(chunks))
+    return df.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__toks")
+    ).select("doc_id", F.inline(chunks))
 
 
 # deliberately simple ASCII patterns — identical semantics in Java
@@ -340,16 +345,25 @@ def contamination_pairs(
         # set just to dedup within each doc — the (doc, gram) pairs
         # are already unique across docs by construction. Local bench
         # timing is unchanged (the gram set is small at bench SFs);
-        # the removed exchange is corpus-sized at 100 TB.
-        toks = F.split(F.col(text_col), r"\s+")
+        # the removed exchange is corpus-sized at 100 TB. The token
+        # array is PROJECTED to an attribute first: interpreted HOF
+        # eval re-runs non-attribute children per element, so the
+        # inline form re-split the text once per gram (3.5× on the
+        # gram stage, see substring_dup_share).
+        tc = F.col("__toks")
         grams = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(F.lit(0), F.size(tc) - n),
+                lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n)),
             )
         )
-        return df.filter(F.size(toks) >= n).select(
-            F.col("doc_id").alias(id_alias), F.explode(grams).alias("ngram")
+        return (
+            df.select(
+                F.col("doc_id").alias(id_alias),
+                F.split(F.col(text_col), r"\s+").alias("__toks"),
+            )
+            .filter(F.size("__toks") >= n)
+            .select(id_alias, F.explode(grams).alias("ngram"))
         )
 
     c = doc_ngrams(corpus, "corpus_doc_id")
@@ -393,24 +407,37 @@ def substring_dup_share(
     for the join probe (broadcast join ⇒ no exchange to reuse):
     measured 58.6 s vs 44.4 s for this form at 1M docs / ~50M grams,
     and the count-window form needs a full gram sort (89 s). With
-    ``hashed_keys`` the exchange moves 8-byte xxhash64 keys, not gram
-    strings (collision odds ~ (#grams)^2 / 2^64 — negligible).
+    ``hashed_keys`` the exchange moves 8-byte keys, not gram strings,
+    and the key is xxhash64 of the length-n slice of PER-TOKEN
+    hashes — gram equality ⟺ token-sequence equality modulo the same
+    negligible collision bound (~ (#grams)^2 / 2^64) the string-hash
+    form already carried, with no per-gram string concat at all.
+
+    The token array (and, hashed, the token-hash array) is PROJECTED
+    to an attribute before any higher-order lambda touches it:
+    interpreted HOF eval re-evaluates non-attribute children per
+    ELEMENT, so ``slice(split(text), ..)`` inside ``transform``
+    re-ran split once per gram — projecting it first measured 3.5×
+    on the gram stage at sf0.1 (r07).
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    tokens = F.split(F.col(text_col), r"\s+")
+    base = df.select("doc_id", tokens.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    tc = F.col("__toks")
+    if hashed_keys:
+        base = base.select(
+            "doc_id", F.transform(tc, lambda w: F.xxhash64(w)).alias("__toks")
+        )
+        gram_of = lambda i: F.xxhash64(F.slice(tc, i + 1, n))  # noqa: E731
+    else:
+        gram_of = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.slice(tc, i + 1, n)
+        )
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+        F.transform(F.sequence(F.lit(0), F.size(tc) - n), gram_of)
     )
-    per_gram = (
-        df.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(grams).alias("ngram"))
-        .select(
-            "doc_id",
-            (F.xxhash64("ngram") if hashed_keys else F.col("ngram")).alias("gkey"),
-        )
-    )
+    per_gram = base.select("doc_id", F.explode(grams).alias("gkey"))
     uniq = (
         per_gram.groupBy("gkey")
         .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
@@ -418,7 +445,7 @@ def substring_dup_share(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
-    totals = df.filter(F.size(toks) >= n).select(
+    totals = base.select(
         "doc_id", F.size(grams).cast("bigint").alias("n_grams")
     )
     return (
@@ -457,45 +484,101 @@ def remove_duplicate_spans(
     count, the surviving count, and the surviving tokens re-joined by
     single spaces in original order.
 
-    Scale shape: the (doc, position, gram-key) grain explodes once;
-    duplicated keys come from a count aggregate at gram-key grain
-    (map-side partials — hot grams collapse before the shuffle); the
-    position-resolution join is an equi-join on the gram key (needed:
-    removal is positional, unlike the share's derivable count) whose
-    build side carries ONLY duplicated keys — the heavy unique tail
-    never joins. Duplicated positions collapse to a per-doc list
-    (bounded by doc length), rejoin at DOC grain, and the span-mask
-    trim runs as one Arrow-batched pandas pass (a boolean mask per
-    doc; the expression-tree alternative is O(L·|dup spans|)
-    interpreted per doc). With ``hashed_keys`` the exchange moves
-    8-byte xxhash64 keys, not gram strings.
+    Scale shape: the (doc, position, gram-key) grain explodes once
+    into the count aggregate at gram-key grain (map-side partials —
+    hot grams collapse before the shuffle); the position-resolution
+    join is an equi-join on the gram key (needed: removal is
+    positional, unlike the share's derivable count) whose build side
+    carries ONLY duplicated keys — the heavy unique tail never joins.
+    The PROBE side of that join is restricted BEFORE its re-explode to
+    docs that hold at least one duplicated key, derived from the SAME
+    gram-key aggregate with zero extra gram-grain work: a key with
+    c == 1 has exactly one position corpus-wide, owned by min(id), so
+
+        doc holds a dup key  ⟺  n_positions(doc) > #{c==1 keys owned}
+
+    where n_positions comes from a scan-only ``size`` projection. The
+    shared gram-key exchange is consumed by both branches (Spark's
+    ReusedExchange), the restriction joins at DOC grain (ids only;
+    AQE broadcasts it when small — at 100 TB an id-grain shuffle of
+    the text column still moves ~4× fewer bytes than the unrestricted
+    position-grain probe would under a sort-merge position join).
+    Duplicated positions collapse to a per-doc list (bounded by doc
+    length), rejoin at DOC grain, and the span-mask trim runs as one
+    Arrow-batched pandas pass (a boolean mask per doc; the
+    expression-tree alternative is O(L·|dup spans|) interpreted per
+    doc). With ``hashed_keys`` the exchange moves 8-byte xxhash64
+    keys, not gram strings.
+
+    Tokenization contract: positions index the Java-regex split
+    ``split(text, '\\s+')`` with limit -1 — leading/trailing
+    whitespace yields empty boundary tokens that OCCUPY positions.
+    The Arrow trim re-splits with the equivalent Python pattern
+    (``[ \\t\\n\\x0b\\f\\r]+`` = Java ``\\s``, which unlike Python
+    ``\\s`` excludes Unicode whitespace), so masks align byte-exactly
+    for any input; ``kept_text`` joins survivors with single spaces
+    (runs of whitespace do not round-trip).
     """
+    import re
+
     import numpy as np
 
+    id_type = df.schema[id_col].dataType.simpleString()
     toks = F.split(F.col(text_col), r"\s+")
-    gram_at = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    pos_grams = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.posexplode(gram_at).alias("p", "ngram"))
-        .select(
-            id_col,
-            "p",
-            (F.xxhash64("ngram") if hashed_keys else F.col("ngram")).alias(
-                "gkey"
-            ),
+    tc = F.col("__toks")
+
+    def explode_positions(docs: DataFrame) -> DataFrame:
+        # token array projected to an attribute BEFORE the gram lambda
+        # (interpreted HOF eval re-runs non-attribute children per
+        # element — 3.5× on the gram stage, see substring_dup_share);
+        # hashed, the positional key is xxhash64 over the length-n
+        # slice of per-token hashes — no per-gram string concat, same
+        # negligible-collision contract as hashing the gram string
+        base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+            F.size("__toks") >= n
         )
+        if hashed_keys:
+            base = base.select(
+                id_col, F.transform(tc, lambda w: F.xxhash64(w)).alias("__toks")
+            )
+            gram_of = lambda i: F.xxhash64(F.slice(tc, i + 1, n))  # noqa: E731
+        else:
+            gram_of = lambda i: F.concat_ws(  # noqa: E731
+                " ", F.slice(tc, i + 1, n)
+            )
+        keys_at = F.transform(F.sequence(F.lit(0), F.size(tc) - n), gram_of)
+        return base.select(id_col, F.posexplode(keys_at).alias("p", "gkey"))
+
+    per_key = explode_positions(df).groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("c"), F.min(id_col).alias("__d0")
     )
-    dup_keys = (
-        pos_grams.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("gkey")
+    # the __d0 predicate is vacuously true (min over non-null ids) but
+    # keeps min(id) in THIS branch's aggregate too, so both consumers
+    # of per_key compile to identical partial-agg + exchange subtrees
+    # and Spark's ReuseExchange shuffles the gram grain ONCE (column
+    # pruning would otherwise drop __d0 here, splitting the exchange)
+    dup_keys = per_key.filter(
+        (F.col("c") > 1) & F.col("__d0").isNotNull()
+    ).select("gkey")
+    # docs holding >=1 duplicated key, derived from the same aggregate:
+    # positions - globally-unique positions (each c==1 key is owned by
+    # its single holder __d0) > 0
+    uniq_per_doc = (
+        per_key.filter(F.col("c") == 1)
+        .groupBy(F.col("__d0").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("__n_uniq"))
+    )
+    n_positions = (F.size(toks) - F.lit(n) + 1).cast("long")
+    dup_docs = (
+        df.filter(F.size(toks) >= n)
+        .select(id_col, n_positions.alias("__n_pos"))
+        .join(uniq_per_doc, id_col, "left")
+        .filter(F.col("__n_pos") > F.coalesce(F.col("__n_uniq"), F.lit(0)))
+        .select(id_col)
     )
     dup_positions = (
-        pos_grams.join(dup_keys, "gkey")
+        explode_positions(df.join(dup_docs, id_col, "left_semi"))
+        .join(dup_keys, "gkey")
         .groupBy(id_col)
         .agg(F.collect_list("p").alias("__dups"))
     )
@@ -503,19 +586,25 @@ def remove_duplicate_spans(
         dup_positions, id_col, "left"
     )
 
-    schema = f"{id_col} long, n_tokens long, n_kept long, kept_text string"
+    schema = f"{id_col} {id_type}, n_tokens long, n_kept long, kept_text string"
+    # Java \s == [ \t\n\x0B\f\r]; Python \s additionally matches
+    # Unicode whitespace — spell the class out so trim positions match
+    # the Spark split exactly. re.split with this pattern also keeps
+    # leading/trailing empty tokens, like Java split(limit=-1).
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def trim(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             ids, n_tok, n_kept, kept = [], [], [], []
-            for _, row in pdf.iterrows():
-                words = row["__text"].split()
+            for doc_id, text, dups in zip(
+                pdf[id_col].values, pdf["__text"].values, pdf["__dups"].values
+            ):
+                words = java_ws.split(text)
                 mask = np.ones(len(words), dtype=bool)
-                dups = row["__dups"]
                 if dups is not None and len(dups):
                     for p in dups:
                         mask[p : p + n] = False
-                ids.append(row[id_col])
+                ids.append(doc_id)
                 n_tok.append(len(words))
                 n_kept.append(int(mask.sum()))
                 kept.append(" ".join(w for w, m in zip(words, mask) if m))
@@ -592,14 +681,16 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
     by Heaps' law into the millions, but a web-scale bigram vocab
     wants the broadcast swapped for a shuffle join on ``big`` (one-
     line change, same values)."""
-    toks = F.split(F.col(text_col), r"\s+")
+    tc = F.col("__toks")
     bigs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        F.slice(tc, 1, F.size(tc) - 1),
+        F.slice(tc, 2, F.size(tc) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    toks = F.split(F.col(text_col), r"\s+")
     dtf = (
-        df.filter(F.size(toks) >= 2)
+        df.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
         .select("doc_id", F.explode(bigs).alias("big"))
         .groupBy("doc_id", "big")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -708,6 +799,7 @@ def curate_documents(
     contam_n: int = 8,
     budget_frac: float = 0.5,
     chunked_budget: bool = True,
+    span_trim: bool = False,
 ) -> dict[str, DataFrame]:
     """End-to-end training-corpus curation — the five-stage pipeline
     every LLM data run executes, composed from this module's operators
@@ -718,6 +810,13 @@ def curate_documents(
     3. ``near``     — substring-level near-dup removal: drop docs whose
        distinct-8-gram duplication share ≥ ``dup_share_max`` (Lee et
        al. 2022, doc-grain);
+    3b. ``trimmed`` (``span_trim=True`` only) — Lee et al. 2022's
+       ACTUAL removal step, not just the doc-drop summary: every token
+       covered by a corpus-duplicated 8-gram span inside the surviving
+       ``near`` docs is cut (remove_duplicate_spans) and the document
+       text replaced by the surviving tokens; docs trimmed to zero
+       tokens drop. Downstream stages (decontamination, budget) then
+       operate on the TRIMMED text, as the paper's pipeline does;
     4. ``clean``    — benchmark decontamination: drop docs sharing any
        ``contam_n``-gram with the benchmark set;
     5. ``final``    — token budget: keep docs, in doc_id order, while
@@ -731,8 +830,11 @@ def curate_documents(
 
     Returns the dict of stage DataFrames (shared prefixes are
     localCheckpoint-ed so a downstream stage or a funnel count never
-    re-runs an upstream shuffle). Every stage is deterministic and
-    SQL-expressible, so the whole funnel is oracle-checkable.
+    re-runs an upstream shuffle; the ``trimmed`` stage checkpoints too
+    — its recompute would repeat the positional gram shuffle AND the
+    Arrow trim pass). Every stage is deterministic and SQL-expressible,
+    so the whole funnel is oracle-checkable (``curation_funnel`` /
+    ``curation_funnel_spans``).
     """
     # quality is projection+filter only (no shuffle): recomputing it
     # for its two consumers is cheaper than materializing full text to
@@ -764,12 +866,29 @@ def curate_documents(
         )
     ).localCheckpoint()
 
+    stages_mid: dict[str, DataFrame] = {}
+    pre_clean = near
+    if span_trim:
+        trim_info = remove_duplicate_spans(near, text_col=text_col, n=8)
+        trimmed = (
+            near.drop(text_col)
+            .join(
+                trim_info.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("kept_text").alias(text_col)
+                ),
+                "doc_id",
+            )
+            .localCheckpoint()
+        )
+        stages_mid["trimmed"] = trimmed
+        pre_clean = trimmed
+
     contaminated = (
-        contamination_pairs(near, benchmark, text_col, n=contam_n)
+        contamination_pairs(pre_clean, benchmark, text_col, n=contam_n)
         .select(F.col("corpus_doc_id").alias("doc_id"))
         .distinct()
     )
-    clean = near.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    clean = pre_clean.join(contaminated, "doc_id", "left_anti").localCheckpoint()
 
     toks = F.size(F.split(F.col(text_col), r"\s+"))
     # only a narrow (doc_id, n_tokens) projection rides the running
@@ -784,6 +903,7 @@ def curate_documents(
         "quality": quality,
         "deduped": deduped,
         "near": near,
+        **stages_mid,
         "clean": clean,
         "final": final,
     }

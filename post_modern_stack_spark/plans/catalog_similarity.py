@@ -606,16 +606,57 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_assign")  # rows-only: float-iterative centroid training
+def _kmeans_assign_oracle_sql(
+    k: int = 8, dim: int = 64, scale: int = 1000
+) -> str:
+    """Replayable DuckDB twin of the quantized k-means assignment
+    (VERDICT r06 item 7 — the ivf/pq taming applied to kmeans_assign):
+    the fixed-seed integer codebook embeds as literals and the
+    nearest-cell argmax ``2·(vq·cq) − |cq|²`` is exact integer math on
+    both engines (ties → lowest cell, numpy first-max order)."""
+    cents = similarity.quantized_centroids(dim, k, scale=scale)
+    values = ",\n             ".join(
+        f"({cell}, [{','.join(str(w) for w in c)}], {sum(w * w for w in c)})"
+        for cell, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * {scale})) AS vq
+      FROM embeddings
+    ),
+    cent(cell, cq, sq) AS (
+      VALUES {values}
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             2 * list_sum(list_transform(range(1, {dim + 1}),
+                                         i -> e.vq[i] * c.cq[i])) - c.sq
+               AS score
+      FROM e CROSS JOIN cent c
+    )
+    SELECT vec_id, cell AS cluster FROM scores
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, cell) = 1
+    """
+
+
+@query(
+    "kmeans_assign",
+    oracle=_kmeans_assign_oracle_sql(k=8, dim=64, scale=1000),
+)
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] distributed Lloyd k-means assignments (k=8, 5 iterations)
-    over the embeddings table — the trained-cluster step SemDeDup/IVF
-    build on (similarity.kmeans_lloyd). Corpus stays distributed;
-    only k×dim centroid partials cross the wire per iteration."""
-    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
-    assignments, _ = similarity.kmeans_lloyd(emb, k=8, n_iter=5)
-    return assignments.select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    """[EXT] k-means cluster assignment (k=8) over the embeddings
+    table — the cluster step SemDeDup/IVF build on. Run in quantized
+    fixed-codebook mode (similarity.quantized_assign: one exact
+    integer nearest-centroid argmax, zero shuffles) so the assignment
+    is deterministic and DuckDB-replayable — the same taming as
+    ivf_top_k/pq_top_k; the float-iterative Lloyd TRAINER
+    (similarity.kmeans_lloyd) stays pytest-gated (test_clustering) and
+    still runs end-to-end inside `semantic_dedup_kmeans`."""
+    return similarity.quantized_assign(
+        load_table(spark, sf_dir, "embeddings"), k=8, dim=64, scale=1000
     )
 
 

@@ -564,14 +564,18 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, shuffle-free. High scores mark template/boilerplate docs for
     the quality filter."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    staged = docs.filter(F.size(toks) >= 2).select(
-        "doc_id",
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ).alias("grams"),
+    tc = F.col("__toks")
+    staged = (
+        docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            "doc_id",
+            F.zip_with(
+                F.slice(tc, 1, F.size(tc) - 1),
+                F.slice(tc, 2, F.size(tc) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ).alias("grams"),
+        )
     )
     return staged.select(
         "doc_id",
@@ -1021,6 +1025,162 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.size(F.split(F.col("text"), r"\s+"))
     counts = None
     for name in ["input", "quality", "deduped", "near", "clean"]:
+        agg = stages[name].agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        counts = agg if counts is None else counts.crossJoin(agg)
+    final_agg = stages["final"].agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(toks).alias("final_tokens"),
+    )
+    return counts.crossJoin(final_agg)
+
+
+@query(
+    "curation_funnel_spans",
+    oracle="""
+    WITH input AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    stats AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS ldiv,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+                   / len(string_split(text, ' ')) AS stopr
+        FROM input
+    ),
+    quality AS (
+        SELECT doc_id, text, source, n_tokens FROM stats
+        WHERE round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN stopr > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN ldiv > 0.1 THEN 1 ELSE 0 END)) / 3.0, 6) >= 0.66
+    ),
+    deduped AS (
+        SELECT doc_id, text, source, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM deduped WHERE len(string_split(text, ' ')) >= 8
+    ),
+    shares AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM (SELECT doc_id, count(*) OVER (PARTITION BY g) AS cnt FROM grams)
+        GROUP BY doc_id
+    ),
+    near AS (
+        SELECT d.* FROM deduped d LEFT JOIN shares s USING (doc_id)
+        WHERE s.doc_id IS NULL
+           OR round(s.n_dup::DOUBLE / s.n_grams, 6) < 0.8
+    ),
+    ntoks AS (
+        SELECT doc_id, text, source, string_split(text, ' ') AS toks
+        FROM near
+    ),
+    spos AS (
+        SELECT doc_id, unnest(range(len(toks) - 7)) AS p, toks
+        FROM ntoks WHERE len(toks) >= 8
+    ),
+    spg AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(toks, p + 1, p + 8), ' ') AS gram
+        FROM spos
+    ),
+    sdup AS (SELECT gram FROM spg GROUP BY gram HAVING count(*) > 1),
+    sdp AS (SELECT doc_id, p FROM spg JOIN sdup USING (gram)),
+    scov AS (SELECT DISTINCT doc_id, p + r.k AS j FROM sdp, range(8) r(k)),
+    stok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS j,
+               unnest(toks) AS w
+        FROM ntoks
+    ),
+    strim AS (
+        SELECT stok.doc_id,
+               sum(CASE WHEN scov.j IS NULL THEN 1 ELSE 0 END) AS n_kept,
+               string_agg(CASE WHEN scov.j IS NULL THEN stok.w END,
+                          ' ' ORDER BY stok.j) AS kept_text
+        FROM stok LEFT JOIN scov
+          ON scov.doc_id = stok.doc_id AND scov.j = stok.j
+        GROUP BY stok.doc_id
+    ),
+    trimmed AS (
+        SELECT n.doc_id, s.kept_text AS text, n.source,
+               s.n_kept AS n_tokens
+        FROM near n JOIN strim s USING (doc_id)
+        WHERE s.n_kept > 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM bench WHERE len(string_split(text, ' ')) >= 8
+    ),
+    cgrams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 6),
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   AS g
+        FROM trimmed WHERE len(string_split(text, ' ')) >= 8
+    ),
+    contam AS (
+        SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+    ),
+    clean AS (
+        SELECT * FROM trimmed
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM clean),
+    run AS (
+        SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS running
+        FROM clean
+    ),
+    final AS (
+        SELECT r.* FROM run r, tot WHERE r.running <= floor(tot.total * 0.5)
+    )
+    SELECT (SELECT count(*) FROM input)   AS n_input,
+           (SELECT count(*) FROM quality) AS n_quality,
+           (SELECT count(*) FROM deduped) AS n_deduped,
+           (SELECT count(*) FROM near)    AS n_near,
+           (SELECT count(*) FROM trimmed) AS n_trimmed,
+           (SELECT count(*) FROM clean)   AS n_clean,
+           (SELECT count(*) FROM final)   AS n_final,
+           (SELECT CAST(sum(n_tokens) AS BIGINT) FROM final) AS final_tokens
+    """,
+)
+def q_curation_funnel_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the curation funnel with Lee et al. 2022's REMOVAL step
+    composed in (curate_documents(span_trim=True), VERDICT r06 item 3):
+    after the doc-grain near-dup drop, every token covered by a
+    corpus-duplicated 8-gram span inside the survivors is trimmed out
+    (operators/textstats.remove_duplicate_spans) and the document text
+    replaced by the survivors; decontamination and the token budget
+    then run on the TRIMMED text, as the paper's pipeline does. One
+    funnel row reports every stage count including the new ``trimmed``
+    stage, and final_tokens counts trimmed tokens — the oracle replays
+    the span trim string-exactly (positions, coverage, rejoin) inside
+    the full funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    stages = textstats.curate_documents(corpus, benchmark, span_trim=True)
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    counts = None
+    for name in ["input", "quality", "deduped", "near", "trimmed", "clean"]:
         agg = stages[name].agg(F.count(F.lit(1)).alias(f"n_{name}"))
         counts = agg if counts is None else counts.crossJoin(agg)
     final_agg = stages["final"].agg(
@@ -2016,11 +2176,14 @@ def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness end-to-end through the Python Data Source.
 
     The shard directory is keyed by a hash of the FULL corpus path
-    plus this process's pid (ADVICE r05: a basename-keyed fixed /tmp
-    path collides across checkouts and is squattable on shared
-    hosts), written mode("overwrite") each call — the committing
-    writer makes a concurrent re-write invisible until its manifest
-    swap, so repeated invocations within a process are idempotent. A
+    plus the invoking uid (ADVICE r05: a basename-keyed fixed /tmp
+    path collides across checkouts; the uid keeps users apart on
+    shared hosts) and written mode("overwrite") each call, so /tmp
+    holds at most ONE corpus copy per (user, corpus) no matter how
+    many bench processes run (ADVICE r06: a pid-keyed path defeated
+    the overwrite reuse and accumulated corpus-sized garbage). The
+    committing writer makes a concurrent re-write invisible until
+    its manifest swap, so overlapping invocations stay consistent. A
     fresh .load() per call sidesteps the Spark 4.1 bridge's
     cached-scan caveat (tests/test_docsource.py)."""
     import hashlib
@@ -2034,10 +2197,11 @@ def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_key = hashlib.sha256(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(
         tempfile.gettempdir(),
         "pmss_jsonl_roundtrip",
-        f"{corpus_key}-{os.getpid()}",
+        f"{corpus_key}-u{uid}",
     )
     docs.write.format("jsonl_docs").option("path", root).mode(
         "overwrite"
