@@ -30,7 +30,13 @@ Sweeps 2+ visit queries SLOWEST-FIRST (by sweep-1 time): when the
 budget cuts sampling short, the median-of-3 guarantee lands on the
 heavy queries, where a single noisy sample distorts the headline most
 (VERDICT round-4 item 7 — `kmeans_assign`'s 2× flag was partly a
-budget-starved-sampling artifact).
+budget-starved-sampling artifact). Within a sweep the walk is
+BEST-FIT-PACKED (VERDICT round-6 item 5): a query whose predicted
+cost (its fastest prior sample) exceeds the remaining budget is
+skipped, not stopped at, so the walk continues into the cheap tail
+and budget exhaustion degrades per-query sample count, never sample
+breadth — r06's artifact gave 70% of queries a single sample because
+one heavy query at the budget edge ended the whole sweep.
 """
 
 from __future__ import annotations
@@ -47,8 +53,13 @@ import pandas as pd
 # measurement (VERDICT r05 item 6: full 3-sample medians on a quiet
 # host) overrides via env without forking the harness.
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# 500 s (VERDICT r06 item 5): at 217 queries, sweep 1 ≈ 245 s and a
+# full 2nd sweep ≈ 200 s — the old 420 s cut sweep 2 at ~68% breadth.
+# 500 + session startup + one in-flight query still clears the
+# driver's 600 s timeout with margin; a noisy host degrades to fewer
+# samples (never a hang) exactly as before.
 EXTRA_SWEEP_BUDGET_SEC = float(
-    os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+    os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500")
 )
 
 
@@ -99,13 +110,26 @@ def main() -> None:
         for name in order:
             if name in failed:
                 continue
-            if sweep > 0 and time.perf_counter() - total0 > EXTRA_SWEEP_BUDGET_SEC:
-                print(
-                    f"bench: budget reached in sweep {sweep + 1}; "
-                    "remaining queries keep fewer samples",
-                    file=sys.stderr,
+            if sweep > 0:
+                remaining = EXTRA_SWEEP_BUDGET_SEC - (
+                    time.perf_counter() - total0
                 )
-                break
+                if remaining <= 0:
+                    print(
+                        f"bench: budget reached in sweep {sweep + 1}; "
+                        "remaining queries keep fewer samples",
+                        file=sys.stderr,
+                    )
+                    break
+                # best-fit packing (VERDICT r06 item 5): with the walk
+                # slowest-first, a heavy query near the budget edge
+                # would otherwise burn the time dozens of CHEAP queries
+                # could have used for their 2nd sample — skip anything
+                # whose predicted cost (its sweep-1 time) doesn't fit
+                # and keep walking toward the cheap tail, so budget
+                # exhaustion degrades sample COUNT, not sample BREADTH
+                if samples[name] and min(samples[name]) > remaining:
+                    continue
             t0 = time.perf_counter()
             try:
                 samples[name].append(run_once(name))
