@@ -530,6 +530,7 @@ def probe_text_queries(spark, path: str):
         ),
         "text_stats": lambda: textstats.text_stats(load()),
         "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
+        "span_trim": lambda: textstats.remove_duplicate_spans(load(), n=8),
         "unigram_logprob": lambda: textstats.unigram_logprob(load()),
         "bigram_perplexity": lambda: textstats.bigram_perplexity(load()),
         "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
@@ -551,6 +552,11 @@ def probe_text_queries(spark, path: str):
         "curation_final": lambda: textstats.curate_documents(
             load().filter(F.col("doc_id") % 97 != 0),
             load().filter(F.col("doc_id") % 97 == 0),
+        )["final"],
+        "curation_final_spans": lambda: textstats.curate_documents(
+            load().filter(F.col("doc_id") % 97 != 0),
+            load().filter(F.col("doc_id") % 97 == 0),
+            span_trim=True,
         )["final"],
         "gopher_rules": lambda: textstats.gopher_rules(load()),
         "bpe_pretokens": lambda: textstats.bpe_pretokens(load()),
