@@ -63,6 +63,67 @@ EXTRA_SWEEP_BUDGET_SEC = float(
 )
 
 
+def _print_median_regressions(
+    detail_path: str, timings: dict[str, float], threshold: float = 1.5
+) -> None:
+    """Full-catalog median diff vs the LAST COMMITTED BENCH_DETAIL.json
+    (VERDICT r07 item 2): the r07 token-projection rewrite silently
+    regressed 5 shingle-family queries 1.8–2.8× because only the
+    queries being worked on were re-measured and the sweep TOTAL masked
+    them. Print every per-query median mover >``threshold``× in EITHER
+    direction to stderr, so every sweep — in-session or driver — shows
+    the whole catalog's movement, not just the touched queries.
+
+    Baseline = git HEAD's BENCH_DETAIL.json (falls back to the on-disk
+    file if git is unavailable); comparisons only make sense between
+    sweeps at the same sf, so mismatched-sf baselines are skipped.
+    """
+    import subprocess
+
+    prev = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(detail_path), "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            prev = json.loads(out.stdout)
+    except Exception:
+        pass
+    if prev is None:
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+        except Exception:
+            return
+    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cur_sf = cur_sf.rstrip("/").rsplit("sf", 1)[-1]
+    if str(prev.get("sf")) != cur_sf:
+        return
+    movers = []
+    for name, t_new in timings.items():
+        t_old = prev.get("queries", {}).get(name, -1)
+        if t_old <= 0 or t_new <= 0:
+            continue
+        ratio = t_new / t_old
+        if ratio > threshold or ratio < 1 / threshold:
+            movers.append((ratio, name, t_old, t_new))
+    for ratio, name, t_old, t_new in sorted(movers, reverse=True):
+        tag = "REGRESSED" if ratio > 1 else "improved"
+        print(
+            f"bench: median-diff {tag} {name}: {t_old:.3f}s -> {t_new:.3f}s "
+            f"({ratio:.2f}x vs committed BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
+    if not movers:
+        print(
+            f"bench: median-diff clean — no per-query mover >{threshold}x "
+            "vs committed BENCH_DETAIL.json",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -125,10 +186,14 @@ def main() -> None:
                 # slowest-first, a heavy query near the budget edge
                 # would otherwise burn the time dozens of CHEAP queries
                 # could have used for their 2nd sample — skip anything
-                # whose predicted cost (its sweep-1 time) doesn't fit
-                # and keep walking toward the cheap tail, so budget
-                # exhaustion degrades sample COUNT, not sample BREADTH
-                if samples[name] and min(samples[name]) > remaining:
+                # whose predicted cost doesn't fit and keep walking
+                # toward the cheap tail, so budget exhaustion degrades
+                # sample COUNT, not sample BREADTH. Predict with the
+                # MAX prior sample (VERDICT r07 advice: predicting from
+                # the fastest sample let a heavy query admitted at the
+                # edge overrun the budget by most of one runtime,
+                # eating the 600 s driver-timeout margin).
+                if samples[name] and max(samples[name]) > remaining:
                     continue
             t0 = time.perf_counter()
             try:
@@ -177,6 +242,7 @@ def main() -> None:
         "failed": sorted(failed),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    _print_median_regressions(detail_path, timings)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 

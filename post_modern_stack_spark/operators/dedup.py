@@ -65,6 +65,46 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     return shingles_from_tokens(toks, n)
 
 
+def shingle_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exploded distinct-shingle stream: (id, n_sh, shingle_h) with the
+    shingle array built EXACTLY ONCE per row.
+
+    The array is projected as an alias (so ``size`` and the generator
+    both consume a per-row attribute) and exploded with
+    ``explode_outer`` — InferFiltersFromGenerate only fires on
+    non-outer generates, so no ``size(arr) > 0`` filter is inferred,
+    and nothing gets re-inlined below the token projection (the
+    SPARK-36715 trap that would re-run split() once per shingle).
+    CollapseProject keeps the alias intact because the expression is
+    non-cheap and referenced twice. Outer-explode is value-identical
+    to explode here: for non-null text the shingle array always has
+    ≥1 element (sequence(0, greatest(..,0)) is never empty), and null
+    text is filtered up front (pushed to the scan).
+
+    Measured at sf0.1 (single input partition, 3-sample medians):
+    2.51 s vs 32.95 s for the r07 inline size+explode double-build and
+    12.38 s for the r06 alias form whose inferred filter re-splits per
+    shingle — scripts/exp_shingle_forms.py.
+    """
+    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks"))
+        .select(F.col(id_col), sh_arr.alias("__sh"))
+        .select(
+            id_col,
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    )
+
+
 MINHASH_P = 1_000_000_007
 
 
@@ -211,23 +251,10 @@ def jaccard_pairs(
     (|A|+|B|−|A∩B|). The join key is a 64-bit shingle hash, not the
     string. Deterministic, so DuckDB-oracle-checkable.
 
-    The shingle array is built over a PROJECTED token attribute and
-    exploded as an INLINE expression, not a projected alias: exploding
-    an alias lets InferFiltersFromGenerate add a size()>0 filter on it
-    that predicate pushdown then re-inlines below the token projection,
-    re-running split() once per shingle per row at the scan (the rule
-    skips expensive inline children, SPARK-36715). size+explode build
-    the array twice per row — per-row attribute work, vs per-element
-    re-splitting.
+    The shingle stream builds the array once per row via the
+    outer-explode alias form — see ``shingle_stream``.
     """
-    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
-    sh = df.select(
-        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
-    ).select(
-        id_col,
-        F.size(sh_arr).alias("n_sh"),
-        F.explode(sh_arr).alias("shingle"),
-    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    sh = shingle_stream(df, id_col, text_col, shingle_n)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -614,19 +641,7 @@ def jaccard_pairs_prefix(
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
 
-    # inline-expression generator child + projected token attribute:
-    # see jaccard_pairs — an alias child gets an inferred size()>0
-    # filter pushed below the token projection, re-splitting per shingle
-    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
-    sh = (
-        df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks"))
-        .select(
-            id_col,
-            F.size(sh_arr).alias("n_sh"),
-            F.explode(sh_arr).alias("shingle"),
-        )
-        .select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
-    )
+    sh = shingle_stream(df, id_col, text_col, shingle_n)
     freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle_h"))
     prefix_len = (

@@ -248,3 +248,37 @@ def test_gram_queries_never_reslice_an_inline_split(spark):
     ]:
         p = plan_of(spark, name)
         assert "slice(split(" not in p, f"{name} re-slices an inline split"
+
+
+def test_shingle_stream_builds_array_once(spark):
+    """r08 regression guard for the r07 shingle-family 2–2.8× slip:
+    size+explode of an INLINE shingle expression built the array twice
+    per row. The fixed form projects the array as an alias and uses
+    explode_outer (InferFiltersFromGenerate skips outer generates, so
+    no inferred size()>0 filter gets re-inlined below the token
+    projection — SPARK-36715). Pin: exactly one array_distinct build
+    in the stream's optimized plan, none inside a Filter."""
+    from pyspark.sql import functions as F
+    from post_modern_stack_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = dedup.shingle_stream(docs)
+    plan = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_distinct") == 1, plan
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert not any("array_distinct" in ln for ln in filter_lines), plan
+    # and the catalog consumers: the logical plan repeats the stream
+    # subtree per use, so the invariant is one build per Generate
+    # (explode) node — a second build per stream would double the count
+    for name in ["jaccard_pairs", "jaccard_pairs_prefix"]:
+        df = entry_mod.queries()[name](spark, SF)
+        qplan = df._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        n_generates = sum(
+            1 for ln in qplan.splitlines() if re.match(r"^[:+\-| ]*Generate ", ln)
+        )
+        assert qplan.count("array_distinct") == n_generates, (
+            f"{name}: {qplan.count('array_distinct')} shingle-array builds "
+            f"for {n_generates} explodes — a stream is building twice\n{qplan}"
+        )
