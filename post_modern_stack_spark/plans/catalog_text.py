@@ -768,30 +768,32 @@ def q_udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grams AS (
         SELECT doc_id,
-               unnest(list_distinct(list_transform(
+               unnest(list_transform(
                    range(1, len(t) - 8 + 2),
-                   i -> array_to_string(t[i:i+7], ' ')))) AS ngram
+                   i -> array_to_string(t[i:i+7], ' '))) AS ngram
         FROM toks WHERE len(t) >= 8
     ),
     freq AS (
-        SELECT doc_id, count(*) OVER (PARTITION BY ngram) AS ndocs
+        SELECT doc_id, count(*) OVER (PARTITION BY ngram) AS npos
         FROM grams
     )
     SELECT doc_id,
            count(*) AS n_grams,
-           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN npos > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_grams,
-           round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+           round(sum(CASE WHEN npos > 1 THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 6) AS dup_share
     FROM freq
     GROUP BY doc_id
     """,
 )
 def q_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 span-level dedup measure: share of each doc's distinct token
-    8-grams that recur in other docs (Lee et al. 2022 substring dedup,
-    doc-grain summary). Oracle keys grams by string; engine keys the
-    single gram-grain exchange by xxhash64 (collision-negligible)."""
+    """K2 span-level dedup measure: share of each doc's token 8-gram
+    POSITIONS whose gram occurs more than once corpus-wide (Lee et al.
+    2022 substring dedup, doc-grain summary at the paper's positional
+    grain — also the grain of `span_dedup_trim`'s removal). Oracle
+    keys grams by string; engine keys the single gram-grain exchange
+    by xxhash64 (collision-negligible)."""
     return textstats.substring_dup_share(
         load_table(spark, sf_dir, "documents"), n=8, hashed_keys=True
     )
@@ -946,10 +948,12 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ),
     grams AS (
+        -- positional grain (r08, matches the engine's Lee'22 measure):
+        -- every n-gram POSITION counts; no per-doc list_distinct
         SELECT doc_id,
-               unnest(list_distinct(list_transform(
+               unnest(list_transform(
                    range(1, len(string_split(text, ' ')) - 6),
-                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' ')))
                    AS g
         FROM deduped WHERE len(string_split(text, ' ')) >= 8
     ),
@@ -1066,10 +1070,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ),
     grams AS (
+        -- positional grain over the DEDUPED corpus (r08): the ONE
+        -- gram-key aggregate both the share and the span trim read —
+        -- the engine builds it once (gram_key_counts, checkpointed)
         SELECT doc_id,
-               unnest(list_distinct(list_transform(
+               unnest(list_transform(
                    range(1, len(string_split(text, ' ')) - 6),
-                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+                   i -> array_to_string((string_split(text, ' '))[i:i+7], ' ')))
                    AS g
         FROM deduped WHERE len(string_split(text, ' ')) >= 8
     ),
@@ -1098,7 +1105,10 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                array_to_string(list_slice(toks, p + 1, p + 8), ' ') AS gram
         FROM spos
     ),
-    sdup AS (SELECT gram FROM spg GROUP BY gram HAVING count(*) > 1),
+    -- a span is duplicated iff its gram occupies >1 position in the
+    -- DEDUPED corpus (the paper's grain: the full corpus, not the
+    -- post-doc-drop survivors)
+    sdup AS (SELECT g AS gram FROM grams GROUP BY g HAVING count(*) > 1),
     sdp AS (SELECT doc_id, p FROM spg JOIN sdup USING (gram)),
     scov AS (SELECT DISTINCT doc_id, p + r.k AS j FROM sdp, range(8) r(k)),
     stok AS (
@@ -1116,7 +1126,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY stok.doc_id
     ),
     trimmed AS (
-        SELECT n.doc_id, s.kept_text AS text, n.source,
+        -- untouched docs keep their ORIGINAL text byte-identically;
+        -- kept_text (single-space rejoin) swaps in only when the trim
+        -- removed tokens
+        SELECT n.doc_id,
+               CASE WHEN s.n_kept < n.n_tokens THEN s.kept_text
+                    ELSE n.text END AS text,
+               n.source,
                s.n_kept AS n_tokens
         FROM near n JOIN strim s USING (doc_id)
         WHERE s.n_kept > 0
@@ -2175,19 +2191,24 @@ def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match certifies byte-exact text round-trip AND pushed-filter
     correctness end-to-end through the Python Data Source.
 
-    The shard directory is keyed by a hash of the FULL corpus path
-    plus the invoking uid (ADVICE r05: a basename-keyed fixed /tmp
-    path collides across checkouts; the uid keeps users apart on
-    shared hosts) and written mode("overwrite") each call, so /tmp
-    holds at most ONE corpus copy per (user, corpus) no matter how
-    many bench processes run (ADVICE r06: a pid-keyed path defeated
-    the overwrite reuse and accumulated corpus-sized garbage). The
-    committing writer makes a concurrent re-write invisible until
-    its manifest swap, so overlapping invocations stay consistent. A
-    fresh .load() per call sidesteps the Spark 4.1 bridge's
-    cached-scan caveat (tests/test_docsource.py)."""
+    The shard directory lives under a PER-USER parent
+    ``pmss_jsonl_roundtrip-u{uid}`` created mode 0o700 and verified
+    owned-by-us (ADVICE r07: a fully predictable child path under a
+    SHARED parent regressed the r05 squatting concern — another user
+    could pre-create the exact path in sticky /tmp and read or poison
+    the corpus; owning the parent denies that while keeping at most
+    ONE corpus copy per (user, corpus)). Inside it the child is keyed
+    by a hash of the FULL corpus path (ADVICE r05: basename-keyed
+    paths collide across checkouts) and written mode("overwrite")
+    each call (ADVICE r06: a pid-keyed path defeated overwrite reuse
+    and accumulated corpus-sized garbage). The committing writer
+    makes a concurrent re-write invisible until its manifest swap, so
+    overlapping invocations stay consistent. A fresh .load() per call
+    sidesteps the Spark 4.1 bridge's cached-scan caveat
+    (tests/test_docsource.py)."""
     import hashlib
     import os
+    import stat as stat_mod
     import tempfile
 
     from post_modern_stack_spark.sources import docsource
@@ -2198,11 +2219,21 @@ def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:16]
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "pmss_jsonl_roundtrip",
-        f"{corpus_key}-u{uid}",
+    parent = os.path.join(
+        tempfile.gettempdir(), f"pmss_jsonl_roundtrip-u{uid}"
     )
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.stat(parent)
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        # sticky /tmp lets any user pre-create the name; never write a
+        # corpus into a directory someone else owns
+        raise RuntimeError(
+            f"{parent} exists but is owned by uid {st.st_uid}, not {uid}; "
+            "refusing to write the round-trip corpus into it"
+        )
+    if stat_mod.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(parent, 0o700)  # we own it; close group/other access
+    root = os.path.join(parent, corpus_key)
     docs.write.format("jsonl_docs").option("path", root).mode(
         "overwrite"
     ).save()

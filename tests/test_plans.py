@@ -214,9 +214,15 @@ def test_span_dedup_trim_gram_exchange_shuffles_once_at_runtime(spark):
     shuffle. Runtime check (reuse is applied at stage materialization,
     not visible in the static plan)."""
     df = entry_mod.queries()["span_dedup_trim"](spark, SF)
-    df.write.format("noop").mode("overwrite").save()
-    # the write's own QueryExecution is what actually ran; re-derive a
-    # final plan the cheap way — collect() finalizes df's own AQE plan
+    # the vacuous predicate must SURVIVE optimization — a future
+    # Catalyst that constant-folds IsNotNull(min(non-nullable)) would
+    # silently split the exchange back in two; assert the cause here
+    # so the exchange-count assert below points at a real regression
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(__d0" in optimized, (
+        "the vacuous __d0 IsNotNull pin was optimized away\n" + optimized
+    )
+    # collect() finalizes df's own AQE plan — one execution is enough
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     final = final.split("== Initial Plan ==")[0]
