@@ -558,6 +558,15 @@ def probe_text_queries(spark, path: str):
             load().filter(F.col("doc_id") % 97 == 0),
             span_trim=True,
         )["final"],
+        "jaccard_pairs": lambda: dedup.jaccard_pairs(
+            _wide_vocab_docs(load()), min_jaccard=0.5
+        ),
+        "jaccard_pairs_inline2x": lambda: _jaccard_pairs_inline2x(
+            _wide_vocab_docs(load()), min_jaccard=0.5
+        ),
+        "jaccard_pairs_prefix": lambda: dedup.jaccard_pairs_prefix(
+            _wide_vocab_docs(load()), min_jaccard=0.5
+        ),
         "gopher_rules": lambda: textstats.gopher_rules(load()),
         "bpe_pretokens": lambda: textstats.bpe_pretokens(load()),
         "dsir_weights": lambda: textstats.dsir_weights(
@@ -579,6 +588,72 @@ def probe_text_queries(spark, path: str):
         "top_k_exact_expr": lambda: _topk_probe(spark, load(), arrow=False),
         "top_k_exact_arrow": lambda: _topk_probe(spark, load(), arrow=True),
     }
+
+
+def _wide_vocab_docs(docs):
+    """Re-tokenize the synthetic docs with a 50k pseudo-word vocabulary,
+    PRESERVING the ~2% neighbor-duplicate structure (same seed rule as
+    synthesize_docs). The 40-word synth vocab makes every 3-gram
+    shingle collide corpus-wide — an all-pairs jaccard join over it is
+    a quadratic bucket artifact, not a workload; real near-dup corpora
+    have mostly-unique shingles, which this models (VERDICT r07 item 7
+    asks for jaccard ladder rows)."""
+    n_tok = (F.pmod(F.xxhash64("doc_id"), F.lit(51)) + 30).cast("int")
+    seed = F.when(
+        F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(50)) == 0,
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(seed, i), F.lit(50_000)).cast("string"),
+        ),
+    )
+    return docs.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def _jaccard_pairs_inline2x(df, min_jaccard: float):
+    """The r07 form jaccard_pairs shipped with (and r08 removed):
+    size()+explode() of an INLINE shingle expression — the
+    interpreted-HOF array is built twice per row. Kept here only so
+    the ladder can quantify the before/after at scale."""
+    from post_modern_stack_spark.operators.dedup import shingles_from_tokens
+
+    sh_arr = shingles_from_tokens(F.col("__toks"), 3)
+    sh = (
+        df.select(F.col("doc_id"), F.split(F.col("text"), r"\s+").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(sh_arr).alias("n_sh"),
+            F.explode(sh_arr).alias("shingle"),
+        )
+        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle_h") == F.col("b.shingle_h"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def _topk_probe(spark, docs, arrow: bool):
