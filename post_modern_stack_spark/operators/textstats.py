@@ -670,26 +670,32 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     — the cheap perplexity proxy used to rank documents for quality
     filtering (CCNet-style, before a real KenLM pass).
 
-    Scale shape: term frequencies collapse to (doc, token, tf) grain
-    before any join; the trained vocab is a token-grain aggregate
-    (small by Heaps' law even at corpus scale) and broadcasts, so the
-    scoring join is shuffle-free on the fact side; the final doc-grain
-    agg reuses the (doc) key. log computed once per (doc, token), not
-    per occurrence. ``tf`` is consumed twice (vocab training + the
-    scoring join) and deliberately NOT checkpointed — it is
-    CORPUS-sized (~tokens-per-doc rows/doc), the same grain whose
-    localCheckpoint OOM'd dsir_weights at 10M docs (see its
-    docstring); two codegen'd explode passes are bounded, a corpus
-    materialization is not. The corpus token total comes from a
-    third, explode-FREE scan (sum of per-row split sizes — identical
-    to sum(tf) since split pieces are exactly the exploded rows).
+    Scale shape (r08 — no corpus-grain exchange at all): the r07 form
+    first aggregated to (doc, token, tf) grain, but that exchange was
+    pure waste — explode never splits a doc across partitions, so
+    every (doc, token) group already lives in ONE partition and the
+    shuffle moved ~one row per token occurrence (~550M rows at 10M
+    docs) to collapse almost nothing. Both consumers now read the raw
+    exploded stream: the vocab is a token-grain aggregate (map-side
+    partials collapse occurrences; the exchange is vocab-sized, small
+    by Heaps' law), and scoring joins the stream to the BROADCAST
+    probability table then aggregates by doc — whose partial
+    aggregate collapses completely to one row per doc per partition,
+    so that exchange moves ~n_docs rows. Measured at 10M docs /
+    p=256: 142.5 s (first ladder row for this operator; the identical
+    rewrite on bigram_perplexity, whose old form WAS measured, gave
+    536.1 → 297.7 s). The
+    stream is consumed twice and deliberately NOT checkpointed — it
+    is CORPUS-sized, the grain class whose localCheckpoint OOM'd
+    dsir_weights at 10M docs; two codegen'd explode passes are
+    bounded, a corpus materialization is not. The corpus token total
+    comes from a third, explode-FREE scan (sum of per-row split
+    sizes — identical to sum over the exploded rows).
     """
-    tf = (
-        df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stream = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
     )
-    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    vocab = stream.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = df.agg(
         F.sum(F.size(F.split(F.col(text_col), r"\s+"))).cast("long").alias("total")
     )
@@ -697,12 +703,12 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         "token", (F.col("cnt") / F.col("total")).alias("p")
     )
     return (
-        tf.join(F.broadcast(probs), "token")
+        stream.join(F.broadcast(probs), "token")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.sum(F.col("tf") * F.log(F.col("p"))) / F.sum("tf"), 6
+                F.sum(F.log(F.col("p"))) / F.count(F.lit(1)), 6
             ).alias("avg_logprob"),
         )
     )
@@ -713,18 +719,27 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
     up from ``unigram_logprob``): train add-0.5-smoothed p(b|a) on the
     corpus, score each doc's mean bigram log-prob + perplexity.
 
-    Scale shape: bigram facts collapse to (doc, bigram, tf) before any
-    join; the conditional table c(a,·) derives from the BIGRAM counts
-    (never a second corpus pass) and broadcasts with the vocab size.
-    ``dtf`` is consumed twice but NOT checkpointed — it is corpus-sized
-    (one row per distinct (doc, bigram)), the grain class whose
-    localCheckpoint OOM'd dsir_weights at 10M docs; two codegen'd
-    bigram passes measured FASTER than checkpoint materialization
-    (dsir 1M: 16.4 s two-pass vs 30 s checkpointed). Watch item: the
-    smoothed LM table ``p`` is bigram-vocab-sized and broadcast — fine
-    by Heaps' law into the millions, but a web-scale bigram vocab
-    wants the broadcast swapped for a shuffle join on ``big`` (one-
-    line change, same values)."""
+    Scale shape (r08 — the (doc, bigram, tf) exchange is GONE): the
+    r05–r07 form first aggregated the exploded bigrams to (doc,
+    bigram, tf) grain; that exchange was the operator's documented
+    floor (536 s at 10M docs / p=256, and p=768 REGRESSED it to
+    809 s — exchange-grain-bound, VERDICT r07 item 8) and it
+    collapsed almost nothing: explode never splits a doc across
+    partitions, so every (doc, bigram) group already lives in one
+    partition, and intra-doc bigram repeats are rare. Both consumers
+    now read the raw exploded stream: c(a,b) is a bigram-vocab-grain
+    aggregate (map-side partials absorb hot bigrams; Heaps-bounded
+    exchange), and scoring joins the stream to the BROADCAST smoothed
+    LM then aggregates by doc — whose partial aggregate collapses
+    completely to one row per doc per partition, so that exchange
+    moves ~n_docs rows. Measured at 10M docs / p=256: 297.7 s vs
+    536.1 s (1.8×, same-host r7 number at the same setting); values
+    bit-identical (the per-position sum equals the tf-weighted sum).
+    Watch item: the smoothed LM table ``p`` is
+    bigram-vocab-sized and broadcast — fine by Heaps' law into the
+    millions, but a web-scale bigram vocab wants the broadcast
+    swapped for a shuffle join on ``big`` (one-line change, same
+    values)."""
     tc = F.col("__toks")
     bigs = F.zip_with(
         F.slice(tc, 1, F.size(tc) - 1),
@@ -732,14 +747,12 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     toks = F.split(F.col(text_col), r"\s+")
-    dtf = (
+    stream = (
         df.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= 2)
         .select("doc_id", F.explode(bigs).alias("big"))
-        .groupBy("doc_id", "big")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    cab = dtf.groupBy("big").agg(F.sum("tf").alias("c_ab"))
+    cab = stream.groupBy("big").agg(F.count(F.lit(1)).alias("c_ab"))
     ca = (
         cab.select(
             F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("a"), "c_ab"
@@ -762,12 +775,12 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("lp"),
         )
     )
-    mean_lp = F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
+    mean_lp = F.sum(F.col("lp")) / F.count(F.lit(1))
     return (
-        dtf.join(F.broadcast(p), "big")
+        stream.join(F.broadcast(p), "big")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_bigrams"),
             F.round(mean_lp, 6).alias("avg_logprob"),
             F.round(F.exp(-mean_lp), 4).alias("perplexity"),
         )
@@ -844,6 +857,7 @@ def curate_documents(
     budget_frac: float = 0.5,
     chunked_budget: bool = True,
     span_trim: bool = False,
+    checkpoint_gram_keys: bool | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end training-corpus curation — the five-stage pipeline
     every LLM data run executes, composed from this module's operators
@@ -898,20 +912,33 @@ def curate_documents(
     # codegen'd gram construction twice. Checkpoint ROWS only when
     # recompute repeats a SHUFFLE, never to save scan-side CPU.
     #
-    # The gram-KEY aggregate is different (VERDICT r07 item 4): with
-    # span_trim the share stage and the removal stage consume the SAME
-    # (gkey, c, min-id) aggregate — post-aggregation it is key-grain
-    # (≈ #distinct grams rows × 24 B, far smaller than the positional
-    # stream), the stages run in SEPARATE actions (ReuseExchange can't
-    # cross the `near` checkpoint), and its recompute repeats the full
-    # gram exchange. Checkpoint it once over the deduped corpus and
-    # both stages read it; the removal thereby trims spans duplicated
-    # in the DEDUPED corpus (the paper's grain — the full corpus, not
-    # the post-doc-drop survivors). Measured at sf0.1:
-    # curation_funnel_spans 4.4 s → 3.0 s (r08).
+    # The gram-KEY aggregate (VERDICT r07 item 4): with span_trim the
+    # share stage and the removal stage consume the SAME (gkey, c,
+    # min-id) aggregate over the deduped corpus, so the removal trims
+    # spans duplicated in the DEDUPED corpus (the paper's grain — the
+    # full corpus, not the post-doc-drop survivors). The stages run in
+    # SEPARATE actions (ReuseExchange can't cross the `near`
+    # checkpoint), so sharing physically means materializing —
+    # measured BOTH ways at 10M docs / p=256, same host window (r08):
+    # localCheckpoint-ed aggregate 1118.5 s total (the checkpoint
+    # itself took 413.8 s and spilled 17.5 GB to disk), recompute
+    # 1181.1 s — a wash at 10M; at sf0.1 the checkpoint is ~free and
+    # saves a whole gram-agg recompute (4.3 s vs 5.7 s). But the key
+    # grain is CORPUS-PROPORTIONAL (~450M rows at 10M docs), exactly
+    # the grain class whose materialization OOM'd dsir_weights, so
+    # unbounded-corpus runs must recompute. Default (None) routes by
+    # corpus size — deduped is already materialized, so the count is
+    # a local-block scan — checkpointing small corpora where it wins
+    # and recomputing past 2M docs where the storage hazard outgrows
+    # the ~5% edge (same auto-routing precedent as
+    # dedup.semantic_dedup_auto).
     per_key = None
     if span_trim:
-        per_key = gram_key_counts(deduped, text_col, n=8).localCheckpoint()
+        per_key = gram_key_counts(deduped, text_col, n=8)
+        if checkpoint_gram_keys is None:
+            checkpoint_gram_keys = deduped.count() <= 2_000_000
+        if checkpoint_gram_keys:
+            per_key = per_key.localCheckpoint()
     shares = substring_dup_share(deduped, text_col, n=8, per_key=per_key)
     near = (
         deduped.join(
@@ -1167,19 +1194,29 @@ def dsir_weights(
     Documents scoring high resemble the target domain and are kept by
     importance resampling.
 
-    Engine shape: the explode+md5 pass reduces straight to
-    (doc, bucket, c) sparse counts, consumed twice — once collapsed to
-    the fused raw+target bucket distribution (its grand totals come
-    from a global window over the n_buckets-row table, not another
-    corpus subtree), once for the doc-grain score. TWO codegen'd
-    corpus passes, ZERO materialization. The history of this plan is
-    the repo's checkpoint rule in miniature: the first version derived
-    raw/target/score each straight from the token explode (3 passes,
-    65 s at 1 M docs); the second localCheckpoint-ed ``doc_counts``
-    (1 pass + materialization, 30 s at 1 M) — and turned out to be a
-    HEAP BOMB at scale: the sparse grain is ~100 rows/doc, so 10 M
-    docs checkpointed ~1 B deserialized rows into executor storage and
-    OOM'd a 48 g local[32] JVM; at 100 TB it would burn cluster
+    Engine shape (r08 — the corpus-grain exchange is GONE): the r07
+    form first aggregated the exploded tokens to (doc, bucket, c)
+    sparse counts, but that exchange moved ~100 rows/doc (~1 B rows
+    at 10 M docs — the 274 s ladder row) and collapsed almost
+    nothing: explode never splits a doc across partitions, so every
+    (doc, bucket) group already lives in one partition. Both
+    consumers now read the raw exploded+bucketed stream: the fused
+    raw+target bucket distribution is a bucket-grain aggregate
+    (map-side partials absorb the whole stream into ≤n_buckets rows
+    per partition; its grand totals come from a global window over
+    the n_buckets-row table, not another corpus subtree), and the
+    doc score joins the stream to the BROADCAST distribution then
+    aggregates by doc — whose partial aggregate collapses completely
+    to one row per doc per partition, so that exchange moves ~n_docs
+    rows. Measured at 10M docs / p=256: 49.8 s vs 274.4 s (5.5×).
+    TWO codegen'd corpus passes, ZERO materialization. The history of
+    this plan is the repo's checkpoint rule in miniature: the first
+    version derived raw/target/score each straight from the token
+    explode (3 passes, 65 s at 1 M docs); the second
+    localCheckpoint-ed ``doc_counts`` (1 pass + materialization,
+    30 s at 1 M) — and turned out to be a HEAP BOMB at scale: 10 M
+    docs checkpointed ~1 B deserialized rows into executor storage
+    and OOM'd a 48 g local[32] JVM; at 100 TB it would burn cluster
     storage proportional to the corpus. Recomputing a scan+explode+
     partial-agg chain is bandwidth-bound and bounded; materializing a
     corpus-sized grain is not ("checkpoint rows only when recompute
@@ -1194,32 +1231,22 @@ def dsir_weights(
     ``target_filter``: boolean Column selecting the target-domain rows
     (e.g. ``F.col('source') == 'src0'``).
     """
-    doc_counts = (
-        df.select(
-            "doc_id",
-            target_filter.alias("__is_target"),
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-        )
-        .withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-            % F.lit(n_buckets),
-        )
-        .groupBy("doc_id", "__is_target", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    stream = df.select(
+        "doc_id",
+        target_filter.alias("__is_target"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
     )
     # raw + target bucket distributions in ONE conditional aggregate
-    # (was: two aggs + a bucket join + na.fill — same values); the
-    # grand totals come from a GLOBAL WINDOW over the n_buckets-row
-    # table (single tiny task) instead of a separate 1-row aggregate —
-    # a second subtree over doc_counts would cost one more corpus pass
+    # (was: two aggs + a bucket join + na.fill — same values)
     from pyspark.sql import Window
 
-    both = doc_counts.groupBy("bucket").agg(
-        F.sum("c").alias("c_raw"),
-        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
-            "c_tgt"
-        ),
+    both = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_tgt"),
     )
     w_all = Window.partitionBy()
     dist = both.select(
@@ -1236,13 +1263,11 @@ def dsir_weights(
         ).alias("log_ratio"),
     )
     return (
-        doc_counts.join(F.broadcast(dist), "bucket")
+        stream.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("log_ratio")), 4).alias(
-                "dsir_logratio"
-            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("log_ratio")), 4).alias("dsir_logratio"),
         )
     )
 
