@@ -355,3 +355,77 @@ def test_whiten_embeddings_identity_covariance(spark):
     # truncation keeps the top components only
     out8 = similarity.whiten_embeddings(emb, out_dim=8).first()
     assert len(out8["whitened"]) == 8
+
+
+def test_substring_dup_share_positional_intra_doc(spark):
+    """r08 positional-grain semantics on data the oracle corpus can't
+    exercise (it has no intra-doc gram repeats): every n-gram POSITION
+    whose gram occurs >1x corpus-wide counts — so a within-doc repeat
+    contributes BOTH its positions to n_dup_grams, and n_grams counts
+    positions (size-n+1), not distinct grams. Hashed and string key
+    modes must agree exactly."""
+    from post_modern_stack_spark.operators.textstats import (
+        substring_dup_share,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(8))
+    rows = [
+        (0, f"alpha beta {span} gamma delta"),      # 12 toks, 5 pos
+        (1, f"eps zeta {span} eta theta"),          # 12 toks, 5 pos
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),       # 10 toks, 3 pos
+        (3, f"{span} mid0 mid1 {span}"),            # 18 toks, 11 pos
+        (4, "tiny doc"),                            # < n: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        # the shared span gram holds 4 positions corpus-wide (docs
+        # 0, 1, and BOTH ends of doc 3) -> duplicated everywhere
+        0: (5, 1, round(1 / 5, 6)),
+        1: (5, 1, round(1 / 5, 6)),
+        2: (3, 0, 0.0),
+        # positional: doc 3's repeat contributes TWO dup positions of
+        # ELEVEN total (the r06 distinct grain would say 1 of 10)
+        3: (11, 2, round(2 / 11, 6)),
+    }
+    for hashed in (True, False):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_share"])
+            for r in substring_dup_share(df, n=8, hashed_keys=hashed).collect()
+        }
+        assert got == expected, (hashed, got)
+
+
+def test_contamination_hashed_matches_string_keys(spark):
+    """The hashed-gram join (r08 default) must produce exactly the
+    string-keyed pair counts on a corpus with cross/within/no overlap
+    cases."""
+    from post_modern_stack_spark.operators.textstats import (
+        contamination_pairs,
+    )
+
+    gram = " ".join(f"g{i}" for i in range(5))
+    corpus = spark.createDataFrame(
+        [
+            (0, f"a b {gram} c d"),
+            (1, f"x y z {gram}"),
+            (2, "only unique words live here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{gram} tail0 tail1"), (101, "nothing shared at all here")],
+        "doc_id long, text string",
+    )
+
+    def key_set(hashed):
+        return {
+            (r["corpus_doc_id"], r["benchmark_doc_id"], r["n_shared_ngrams"])
+            for r in contamination_pairs(
+                corpus, bench, n=5, hashed_keys=hashed
+            ).collect()
+        }
+
+    hashed, string = key_set(True), key_set(False)
+    assert hashed == string
+    assert (0, 100, 1) in hashed and (1, 100, 1) in hashed
+    assert not any(c == 2 for c, _, _ in hashed)
