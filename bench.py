@@ -61,10 +61,18 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 EXTRA_SWEEP_BUDGET_SEC = float(
     os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500")
 )
+# Sample-disagreement ratio above which a query is treated as bimodal:
+# it jumps the sweep-3 queue, gets a forced tiebreak sample if still
+# at two samples after the main budget, and is flagged in
+# BENCH_DETAIL.json (VERDICT r08 item 2).
+BIMODAL_SPREAD = 3.0
 
 
 def _print_median_regressions(
-    detail_path: str, timings: dict[str, float], threshold: float = 1.5
+    detail_path: str,
+    timings: dict[str, float],
+    cur_sf,
+    threshold: float = 1.5,
 ) -> None:
     """Full-catalog median diff vs the LAST COMMITTED BENCH_DETAIL.json
     (VERDICT r07 item 2): the r07 token-projection rewrite silently
@@ -81,6 +89,7 @@ def _print_median_regressions(
     import subprocess
 
     prev = None
+    baseline_desc = "committed BENCH_DETAIL.json"
     try:
         out = subprocess.run(
             ["git", "-C", os.path.dirname(detail_path), "show", "HEAD:BENCH_DETAIL.json"],
@@ -92,15 +101,24 @@ def _print_median_regressions(
     except Exception:
         pass
     if prev is None:
+        # ADVICE r08: the fallback baseline may be an uncommitted
+        # in-session artifact — say so, instead of misattributing a
+        # mover to the committed baseline.
+        baseline_desc = "on-disk BENCH_DETAIL.json (git unavailable)"
         try:
             with open(detail_path) as f:
                 prev = json.load(f)
         except Exception:
             return
-    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cur_sf = cur_sf.rstrip("/").rsplit("sf", 1)[-1]
-    if str(prev.get("sf")) != cur_sf:
-        return
+    # ADVICE r08: compare sfs NUMERICALLY — the artifact stores
+    # float(sf) ('1.0') while the env path parses to '1', so a string
+    # compare silently skipped the diff at any integer sf.
+    try:
+        if float(prev.get("sf")) != float(cur_sf):
+            return
+    except (TypeError, ValueError):
+        if str(prev.get("sf")) != str(cur_sf):
+            return
     movers = []
     for name, t_new in timings.items():
         t_old = prev.get("queries", {}).get(name, -1)
@@ -113,13 +131,13 @@ def _print_median_regressions(
         tag = "REGRESSED" if ratio > 1 else "improved"
         print(
             f"bench: median-diff {tag} {name}: {t_old:.3f}s -> {t_new:.3f}s "
-            f"({ratio:.2f}x vs committed BENCH_DETAIL.json)",
+            f"({ratio:.2f}x vs {baseline_desc})",
             file=sys.stderr,
         )
     if not movers:
         print(
             f"bench: median-diff clean — no per-query mover >{threshold}x "
-            "vs committed BENCH_DETAIL.json",
+            f"vs {baseline_desc}",
             file=sys.stderr,
         )
 
@@ -163,10 +181,20 @@ def main() -> None:
             order = list(qs)
         else:
             # slowest-first: the budget guard below may truncate this
-            # sweep, and heavy queries need the extra samples most
+            # sweep, and heavy queries need the extra samples most.
+            # Queries whose existing samples already DISAGREE >3x jump
+            # the whole queue (VERDICT r08 item 2: a 9x two-sample
+            # disagreement on media_jpeg_pipeline was reported as its
+            # min and the driver then recorded the slow mode — a
+            # bimodal query needs its tie-breaking sample more than a
+            # merely-slow query needs its 3rd).
+            def _spread(n: str) -> float:
+                v = samples[n]
+                return max(v) / max(min(v), 1e-9) if len(v) >= 2 else 1.0
+
             order = sorted(
                 (n for n in qs if samples[n]),
-                key=lambda n: -samples[n][0],
+                key=lambda n: (-(_spread(n) > BIMODAL_SPREAD), -samples[n][0]),
             )
         for name in order:
             if name in failed:
@@ -211,6 +239,40 @@ def main() -> None:
             continue
         break  # budget reached: stop outer sweeps too
 
+    # Forced tiebreak pass (VERDICT r08 item 2): any query left with
+    # exactly two samples disagreeing >3x gets its third sample even
+    # though the main budget is spent — min-of-2 on a bimodal
+    # distribution writes a one-sided artifact silently. Bounded so
+    # the driver's 600 s timeout still clears: combined wall clock is
+    # capped at EXTRA_SWEEP_BUDGET_SEC + 60, cheapest suspects first.
+    tb_deadline = EXTRA_SWEEP_BUDGET_SEC + 60.0
+    suspects = sorted(
+        (
+            n
+            for n in qs
+            if n not in failed
+            and len(samples[n]) == 2
+            and max(samples[n]) > BIMODAL_SPREAD * max(min(samples[n]), 1e-9)
+        ),
+        key=lambda n: min(samples[n]),
+    )
+    for name in suspects:
+        remaining = tb_deadline - (time.perf_counter() - total0)
+        if min(samples[name]) > remaining:
+            continue
+        t0 = time.perf_counter()
+        try:
+            samples[name].append(run_once(name))
+            print(
+                f"bench: tiebreak sample for bimodal {name}: "
+                f"samples now {samples[name]}",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            failed.add(name)
+            failed_elapsed += time.perf_counter() - t0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
     def estimate(vals: list[float]) -> float:
         if not vals:
             return -1.0
@@ -240,9 +302,17 @@ def main() -> None:
         # earlier good sample (whose median still reports positive):
         # late-sweep breakage must be visible in the artifact
         "failed": sorted(failed),
+        # queries whose recorded samples disagree >BIMODAL_SPREADx —
+        # their point estimate is one side of a bimodal distribution,
+        # so a reader must not treat it as a stable median
+        "bimodal": sorted(
+            n
+            for n, v in samples.items()
+            if len(v) >= 2 and max(v) > BIMODAL_SPREAD * max(min(v), 1e-9)
+        ),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    _print_median_regressions(detail_path, timings)
+    _print_median_regressions(detail_path, timings, sf_val)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -261,6 +331,8 @@ def main() -> None:
     }
     if failed:
         line_obj["failed"] = sorted(failed)
+    if detail["bimodal"]:
+        line_obj["bimodal"] = detail["bimodal"]
     for name in sorted(timings, key=lambda n: -timings[n]):
         line_obj["queries"][name] = timings[name]
         if len(json.dumps(line_obj, separators=(",", ":"))) > 1800:

@@ -83,6 +83,25 @@ DEFER_FROM_WINDOW: tuple[str, ...] = (
 # media_dedup_groups) was a bug to fix by re-scoping, not to allowlist.
 EXPECTED_EMPTY: frozenset[str] = frozenset()
 
+# Queries whose ORACLE SEMANTICS were rewritten after their last green
+# driver row (VERDICT r08 "what's wrong" item 1): ``driver_green()`` is
+# a monotone union over recorded rounds, so a green row recorded for
+# the OLD semantics would keep the name in bucket 4 forever and the
+# driver would never re-certify the new semantics. Mapping
+# name -> first round whose green row counts: rows recorded in EARLIER
+# rounds are ignored, so the name re-enters bucket 1 until the driver
+# records a fresh green row under the rewritten oracle.
+#
+# Round 9 entries — all four oracles were rewritten in round 8
+# (positional dup-share grain for the substring/funnel family; hashed
+# gram keys for contamination), so rounds < 9 certify stale semantics:
+RECHECK_FROM_ROUND: dict[str, int] = {
+    "substring_dup_share": 9,
+    "curation_funnel": 9,
+    "curation_funnel_spans": 9,
+    "contamination_pairs": 9,
+}
+
 def driver_green(root: str | None = None) -> frozenset[str]:
     """Names with a green driver-correctness row in ANY recorded round.
 
@@ -107,7 +126,11 @@ def driver_green(root: str | None = None) -> frozenset[str]:
     import json
     import os
 
-    green = set(DRIVER_GREEN)
+    import re
+
+    # the static floor is round-1 evidence — an oracle rewritten later
+    # invalidates it the same way it invalidates a recorded row
+    green = {n for n in DRIVER_GREEN if RECHECK_FROM_ROUND.get(n, 0) <= 1}
     repo_root = root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -117,7 +140,12 @@ def driver_green(root: str | None = None) -> frozenset[str]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        file_round = int(m.group(1)) if m else 0
         for name, row in data.items():
+            if file_round < RECHECK_FROM_ROUND.get(name, 0):
+                # green row predates the oracle rewrite — stale semantics
+                continue
             if not isinstance(row, dict):
                 continue
             flags = [v for v in row.values() if isinstance(v, bool)]

@@ -94,3 +94,65 @@ def test_driver_green_ignores_vacuous_zero_row_greens(tmp_path):
     assert "synthetic_errored" not in green
     # the static round-1 floor still unions in under an override root
     assert "sessionize" in green
+
+def test_recheck_from_round_reopens_rewritten_oracles(tmp_path):
+    """RECHECK_FROM_ROUND (VERDICT r08 what's-wrong item 1): a green
+    row recorded BEFORE an oracle rewrite certifies the old semantics,
+    so it must not keep the name in the green set; a row recorded in
+    or after the recheck round re-greens it. Tested on a synthetic
+    name so the pin survives the live names being re-certified."""
+    import json
+    from unittest import mock
+
+    from post_modern_stack_spark.plans import entryflow
+
+    row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 7,
+        "oracle_rows": 7,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"synthetic_rewritten": row, "synthetic_stable": row})
+    )
+    with mock.patch.dict(
+        entryflow.RECHECK_FROM_ROUND, {"synthetic_rewritten": 9}
+    ):
+        green = entryflow.driver_green(root=str(tmp_path))
+        assert "synthetic_stable" in green
+        assert "synthetic_rewritten" not in green  # r04 row is stale
+        # a fresh green row in the recheck round closes the loop
+        (tmp_path / "CORRECTNESS_r09.json").write_text(
+            json.dumps({"synthetic_rewritten": row})
+        )
+        green = entryflow.driver_green(root=str(tmp_path))
+        assert "synthetic_rewritten" in green
+
+
+def test_round9_rewritten_oracles_lead_the_window():
+    """The four oracles rewritten in round 8 must sit at the front of
+    the driver window until a round>=9 green row exists for them."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as m
+    from post_modern_stack_spark.plans import entryflow
+
+    repo = os.path.dirname(os.path.abspath(entryflow.__file__))
+    repo = os.path.dirname(os.path.dirname(repo))
+    recertified = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
+        if rnd < 9:
+            continue
+        for name, r in json.load(open(path)).items():
+            if isinstance(r, dict) and r.get("err") is None and r.get("hash_match"):
+                recertified.add(name)
+    names = list(m.queries())
+    for n in entryflow.RECHECK_FROM_ROUND:
+        if n in recertified:
+            continue  # driver already re-certified the new semantics
+        assert names.index(n) <= 10, f"{n} not near the window front"
