@@ -347,37 +347,21 @@ def contamination_pairs(
     """
 
     def doc_ngrams(df: DataFrame, id_alias: str) -> DataFrame:
-        # gram construction stays INSIDE the array via transform —
-        # exploding positions first and slicing per row was measured
-        # ~40% slower (every exploded row drags a copy of the token
-        # array through the generator); the interpreted lambda is
-        # cheaper than that memory traffic. Per-doc dedup happens
-        # in-array too (array_distinct BEFORE the explode): a
-        # row-level distinct() after it would shuffle the whole gram
-        # set just to dedup within each doc — the (doc, gram) pairs
-        # are already unique across docs by construction. Local bench
-        # timing is unchanged (the gram set is small at bench SFs);
-        # the removed exchange is corpus-sized at 100 TB. The token
-        # array is PROJECTED to an attribute first: interpreted HOF
-        # eval re-runs non-attribute children per element, so the
-        # inline form re-split the text once per gram (3.5× on the
-        # gram stage, see substring_dup_share).
-        tc = F.col("__toks")
-        base = df.select(
-            F.col("doc_id").alias(id_alias),
-            F.split(F.col(text_col), r"\s+").alias("__toks"),
-        ).filter(F.size("__toks") >= n)
-        if hashed_keys:
-            base = base.select(
-                id_alias, F.transform(tc, lambda w: F.xxhash64(w)).alias("__toks")
-            )
-            gram_of = lambda i: F.xxhash64(F.slice(tc, i + 1, n))  # noqa: E731
-        else:
-            gram_of = lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n))  # noqa: E731
-        grams = F.array_distinct(
-            F.transform(F.sequence(F.lit(0), F.size(tc) - n), gram_of)
+        # Per-doc dedup happens IN-ARRAY (array_distinct BEFORE the
+        # explode): a row-level distinct() after it would shuffle the
+        # whole gram set just to dedup within each doc — the
+        # (doc, gram) pairs are already unique across docs by
+        # construction. The removed exchange is corpus-sized at 100 TB.
+        base, keys_at = _gram_base(
+            df.select(F.col("doc_id").alias(id_alias), text_col),
+            text_col,
+            n,
+            hashed_keys,
+            id_alias,
         )
-        return base.select(id_alias, F.explode(grams).alias("ngram"))
+        return base.select(
+            id_alias, F.explode(F.array_distinct(keys_at)).alias("ngram")
+        )
 
     c = doc_ngrams(corpus, "corpus_doc_id")
     b = doc_ngrams(benchmark, "benchmark_doc_id")
@@ -386,6 +370,49 @@ def contamination_pairs(
         .groupBy("corpus_doc_id", "benchmark_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def _gram_base(
+    docs: DataFrame,
+    text_col: str,
+    n: int,
+    hashed_keys: bool,
+    id_col: str,
+):
+    """Shared token-gram projection (ADVICE r08: contamination_pairs
+    and gram_positions each re-built this and could drift): returns
+    ``(base, keys_at)`` where ``base`` is (id_col, __toks) restricted
+    to docs with ≥ n tokens and ``keys_at`` is the in-array expression
+    of all n-gram keys in position order. Distinct-vs-positional — the
+    only semantic divergence between the two callers — stays at the
+    call site (array_distinct+explode vs posexplode).
+
+    Gram construction stays INSIDE the array via transform — exploding
+    positions first and slicing per row was measured ~40% slower
+    (every exploded row drags a copy of the token array through the
+    generator). The token array (and, hashed, the per-token-hash
+    array) is PROJECTED to an attribute before the gram lambda touches
+    it: interpreted HOF eval re-runs non-attribute children per
+    element, so the inline form re-split the text once per gram (3.5×
+    on the gram stage at sf0.1, r07). With ``hashed_keys`` the key is
+    xxhash64 over the length-n slice of per-token hashes — no per-gram
+    string concat, and downstream hash tables hold 8-byte longs; gram
+    equality ⟺ token-sequence equality modulo a ~(#grams)²/2⁶⁴
+    collision bound.
+    """
+    tc = F.col("__toks")
+    base = docs.select(
+        id_col, F.split(F.col(text_col), r"\s+").alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    if hashed_keys:
+        base = base.select(
+            id_col, F.transform(tc, lambda w: F.xxhash64(w)).alias("__toks")
+        )
+        gram_of = lambda i: F.xxhash64(F.slice(tc, i + 1, n))  # noqa: E731
+    else:
+        gram_of = lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n))  # noqa: E731
+    keys_at = F.transform(F.sequence(F.lit(0), F.size(tc) - n), gram_of)
+    return base, keys_at
 
 
 def gram_positions(
@@ -399,27 +426,11 @@ def gram_positions(
     n-gram POSITION of every doc with ≥ n tokens, the shared grain of
     Lee et al. 2022's substring-dedup measure and removal.
 
-    The token array (and, hashed, the per-token-hash array) is
-    projected to an attribute BEFORE the gram lambda touches it
-    (interpreted HOF eval re-runs non-attribute children per element —
-    3.5× on the gram stage at sf0.1, r07). With ``hashed_keys`` the
-    key is xxhash64 over the length-n slice of per-token hashes — no
-    per-gram string concat; gram equality ⟺ token-sequence equality
-    modulo a negligible (~ (#grams)² / 2⁶⁴) collision bound.
+    Projection + key construction shared with contamination_pairs via
+    ``_gram_base`` (see its docstring for the attribute-projection and
+    hashed-key rationale).
     """
-    toks = F.split(F.col(text_col), r"\s+")
-    tc = F.col("__toks")
-    base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
-    if hashed_keys:
-        base = base.select(
-            id_col, F.transform(tc, lambda w: F.xxhash64(w)).alias("__toks")
-        )
-        gram_of = lambda i: F.xxhash64(F.slice(tc, i + 1, n))  # noqa: E731
-    else:
-        gram_of = lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n))  # noqa: E731
-    keys_at = F.transform(F.sequence(F.lit(0), F.size(tc) - n), gram_of)
+    base, keys_at = _gram_base(docs, text_col, n, hashed_keys, id_col)
     return base.select(id_col, F.posexplode(keys_at).alias("p", "gkey"))
 
 

@@ -2223,7 +2223,17 @@ def q_jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"pmss_jsonl_roundtrip-u{uid}"
     )
     os.makedirs(parent, mode=0o700, exist_ok=True)
-    st = os.stat(parent)
+    # lstat, not stat (ADVICE r08): stat follows symlinks, so a
+    # pre-created symlink pointing at a directory we DO own would pass
+    # the uid check and the chmod/write below would act through the
+    # link on a directory the attacker chose. Require the path itself
+    # to be a real directory owned by us.
+    st = os.lstat(parent)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"{parent} exists but is not a real directory (symlink or "
+            "file pre-created in sticky /tmp); refusing to use it"
+        )
     if hasattr(os, "getuid") and st.st_uid != uid:
         # sticky /tmp lets any user pre-create the name; never write a
         # corpus into a directory someone else owns
