@@ -142,6 +142,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     checkpoint_interval: int = 4,
+    driver_merge_threshold: int = 200_000,
 ):
     """[EXT] distributed BPE merge training (Sennrich'16): learn the
     merge table a subword tokenizer is built from.
@@ -163,6 +164,20 @@ def bpe_train(
     merge — 8 merges at interval 4 run 10 jobs instead of 16,
     measured ~25% off the catalog query at sf0.1.
 
+    When the distinct-word table is small (``driver_merge_threshold``
+    rows, known for free from the checkpoint), the merge loop runs
+    DRIVER-SIDE on the collected (word, count) table instead — the
+    shape every published BPE trainer uses: word counting is the only
+    corpus-scale stage; the merge loop's state is vocabulary-sized and
+    a per-merge cluster roundtrip (job scheduling + 1-row collect,
+    ~0.4 s each on this host) dwarfs the actual work. Both paths pick
+    the winner by the identical (count, left, right) max ordering —
+    Python str and Spark UTF8String compare identically because UTF-8
+    byte order preserves code-point order — and apply the identical
+    greedy no-remerge fold, pinned by the reference-parity test. The
+    distributed loop remains the fallback for open-web vocabularies
+    that outgrow the driver.
+
     Returns (merges, vocab_df): merges = [(rank, left, right, count)],
     vocab_df = (word, count, symbols) after all merges.
     """
@@ -178,6 +193,8 @@ def bpe_train(
         .coalesce(4)
         .localCheckpoint()
     )
+    if words.count() <= driver_merge_threshold:
+        return _bpe_train_driver(words, n_merges)
     merges = []
     state = words
     for rank in range(n_merges):
@@ -215,6 +232,44 @@ def bpe_train(
         )
         if (rank + 1) % checkpoint_interval == 0:
             state = state.localCheckpoint()
+    return merges, state
+
+
+def _bpe_train_driver(words: DataFrame, n_merges: int):
+    """Driver-side merge loop over the collected vocabulary-sized word
+    table — semantics identical to the distributed loop in
+    ``bpe_train`` (same (count, l, r) winner ordering, same greedy
+    no-remerge fold as ``_apply_merge``); only the execution site
+    differs. n_merges is small here, so each round recounts pairs in
+    one pass rather than maintaining the incremental pair-index a
+    10k-merge production trainer would."""
+    vocab = [
+        (r["w"], int(r["cnt"]), list(r["syms"])) for r in words.collect()
+    ]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for _, cnt, syms in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        (left, right), n = max(
+            counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, int(n)))
+        merged = left + right
+        for i, (w, cnt, syms) in enumerate(vocab):
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            vocab[i] = (w, cnt, out)
+    state = words.sparkSession.createDataFrame(
+        vocab, "w string, cnt long, syms array<string>"
+    )
     return merges, state
 
 

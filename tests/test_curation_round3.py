@@ -1093,3 +1093,21 @@ def test_brute_force_top_k_arrow_matches_expression_path(spark):
     a = sorted(map(tuple, brute_force_top_k(corpus, queries, k=5).collect()))
     b = sorted(map(tuple, brute_force_top_k_arrow(corpus, queries, k=5).collect()))
     assert a == b and len(a) == 12 * 5
+
+
+def test_bpe_train_driver_and_distributed_paths_agree(spark):
+    """bpe_train auto-routes the merge loop driver-side when the word
+    table is small (round 9: per-merge cluster roundtrips dominated
+    the catalog query). The two execution sites must be byte-identical
+    on merges AND final vocab state — forced here by running the same
+    corpus through both (threshold 0 forces the distributed loop)."""
+    from post_modern_stack_spark.operators.vocab import bpe_train
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m_drv, v_drv = bpe_train(df, n_merges=6)
+    m_dist, v_dist = bpe_train(df, n_merges=6, driver_merge_threshold=0)
+    assert m_drv == m_dist
+    syms_drv = {r["w"]: list(r["syms"]) for r in v_drv.collect()}
+    syms_dist = {r["w"]: list(r["syms"]) for r in v_dist.collect()}
+    assert syms_drv == syms_dist
