@@ -123,9 +123,12 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(d, "interactions").select("token", "freq", "token_id")
 
 
-@query(
-    "jaccard_pairs",
-    oracle=f"""
+# Shared by jaccard_pairs / jaccard_pairs_prefix / jaccard_pairs_auto:
+# all three compute the SAME exact result (prefix filtering and skew
+# routing change the plan, never the answer), so they share one oracle
+# text — a drift in any engine variant shows up as its own hash
+# mismatch.
+_JACCARD_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE doc_id < {_PAIR_LIMIT}
@@ -148,8 +151,10 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
-    """,
-)
+    """
+
+
+@query("jaccard_pairs", oracle=_JACCARD_ORACLE)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 exact n-gram Jaccard near-dup pairs (the verification stage
     of MinHash LSH, run standalone on a doc subset so the oracle's
@@ -158,33 +163,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, min_jaccard=0.2)
 
 
-@query(
-    "jaccard_pairs_prefix",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks
-      FROM documents WHERE doc_id < {_PAIR_LIMIT}
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
-      FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t) z
-      WHERE i <= greatest(len(toks) - 2, 1)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
-    """,
-)
+@query("jaccard_pairs_prefix", oracle=_JACCARD_ORACLE)
 def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 set-similarity join, PPJoin prefix-filtered (SAME oracle as
     jaccard_pairs — prefix filtering is exact, not approximate): the
@@ -192,6 +171,22 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-token collisions instead of stop-word squares."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
     return dedup.jaccard_pairs_prefix(d, min_jaccard=0.2)
+
+
+@query("jaccard_pairs_auto", oracle=_JACCARD_ORACLE)
+def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 set-similarity join, SKEW-ROUTED (VERDICT r08: prefix
+    filtering is 3.4× slower than the plain self-join on mostly-unique
+    corpora — neither variant dominates). One frequency aggregate
+    computes the plain join's exact output fan-out Σ c·(c−1)/2 and
+    routes: low-skew corpora take the single-shuffle plain join,
+    hot-shingle corpora take prefix filtering with the candidate-bound
+    array verify (dedup.jaccard_pairs_auto — where the plain join on a
+    10k-doc hot-header fixture never finished, the routed plan ran
+    4 s). Same oracle as both siblings: routing never changes the
+    answer."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    return dedup.jaccard_pairs_auto(d, 0.2)
 
 
 @query("minhash_candidates")  # rows-only: hash-seed-dependent, no SQL oracle
