@@ -311,7 +311,19 @@ def main() -> None:
             if len(v) >= 2 and max(v) > BIMODAL_SPREAD * max(min(v), 1e-9)
         ),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # BENCH_DETAIL.json is the committed round-over-round baseline at
+    # the driver's default sf — a local probe sweep at another sf must
+    # not clobber it (r09: an sf0.001 probe overwrote the sf0.1
+    # artifact and a bulk git add committed it), so non-default sfs
+    # write an sf-suffixed sidecar instead.
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
+    )
     _print_median_regressions(detail_path, timings, sf_val)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

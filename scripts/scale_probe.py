@@ -567,6 +567,19 @@ def probe_text_queries(spark, path: str):
         "jaccard_pairs_prefix": lambda: dedup.jaccard_pairs_prefix(
             _wide_vocab_docs(load()), min_jaccard=0.5
         ),
+        # r09 skew routing: auto must match plain's time here (wide
+        # vocab = mostly-unique shingles, where r08 measured prefix
+        # 3.4x worse) and take prefix+arrays on the hot-header corpus
+        # (where the plain join never finished at 10k docs)
+        "jaccard_pairs_auto": lambda: dedup.jaccard_pairs_auto(
+            _wide_vocab_docs(load()), 0.5
+        ),
+        "jaccard_auto_hot": lambda: dedup.jaccard_pairs_auto(
+            _hot_header_docs(load()), 0.5
+        ),
+        "jaccard_prefix_streamverify_hot": lambda: dedup.jaccard_pairs_prefix(
+            _hot_header_docs(load()), 0.5, verify="stream"
+        ),
         "gopher_rules": lambda: textstats.gopher_rules(load()),
         "bpe_pretokens": lambda: textstats.bpe_pretokens(load()),
         "dsir_weights": lambda: textstats.dsir_weights(
@@ -611,6 +624,32 @@ def _wide_vocab_docs(docs):
         ),
     )
     return docs.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def _hot_header_docs(docs):
+    """Hot-shingle regime: every doc opens with the same 12-token
+    banner (boilerplate df = corpus size — the stop-word-square case
+    prefix filtering exists for) followed by a unique 30-token tail,
+    so true Jaccard between any two docs is far below τ and the
+    correct output is (nearly) empty while the plain join's fan-out is
+    quadratic in corpus size."""
+    banner = (
+        "this site uses cookies by continuing you agree to the policy "
+        "terms apply"
+    )
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit("x"),
+            F.pmod(F.xxhash64("doc_id", i), F.lit(10**9)).cast("string"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(banner + " "), F.concat_ws(" ", toks)).alias("text"),
+    )
 
 
 def _jaccard_pairs_inline2x(df, min_jaccard: float):
