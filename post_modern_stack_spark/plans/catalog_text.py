@@ -214,10 +214,10 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     way a production corpus dedup would run them."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
     candidates = dedup.minhash_lsh_candidates(d)
-    verified = (
-        dedup.jaccard_pairs(d, min_jaccard=0.5)
-        .join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-    )
+    # candidate-bound verify (r09): exact Jaccard over the LSH pairs
+    # only — the old shape ran the full all-pairs join, then
+    # semi-filtered, paying the fan-out the LSH stage existed to avoid
+    verified = dedup.jaccard_verify_pairs(d, candidates, min_jaccard=0.5)
     return dedup.cluster_pairs(verified)
 
 
@@ -1670,9 +1670,8 @@ def q_near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = dedup.minhash_lsh_candidates(
         d, num_hashes=16, bands=4, hash_mode="md5"
     )
-    verified = dedup.jaccard_pairs(d, min_jaccard=0.5).join(
-        candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-    )
+    # candidate-bound verify (r09) — see near_dup_clusters
+    verified = dedup.jaccard_verify_pairs(d, candidates, min_jaccard=0.5)
     return dedup.cluster_pairs(verified)
 
 
@@ -1912,9 +1911,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = dedup.minhash_lsh_candidates(
         d, num_hashes=16, bands=4, hash_mode="md5"
     )
-    verified = dedup.jaccard_pairs(d, min_jaccard=0.5).join(
-        candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-    )
+    # candidate-bound verify (r09) — see near_dup_clusters
+    verified = dedup.jaccard_verify_pairs(d, candidates, min_jaccard=0.5)
     clusters = dedup.cluster_pairs(verified)
     quality = textstats.quality_score(d)
     return dedup.keep_best_per_cluster(quality, clusters, score_col="quality")

@@ -273,3 +273,33 @@ def test_jaccard_auto_routes_by_skew(spark):
         plain.assert_not_called()
         prefix.assert_called_once()
         assert prefix.call_args.kwargs.get("verify") == "arrays"
+
+
+def test_jaccard_verify_pairs_equals_full_join_semi_filter(spark):
+    """jaccard_verify_pairs(candidates) must reproduce EXACTLY the old
+    pipeline shape — jaccard_pairs(tau) semi-joined to candidates —
+    for every positive tau, without ever materializing the all-pairs
+    join (r09: the LSH pipelines paid the full fan-out in their verify
+    stage)."""
+    from post_modern_stack_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+    from post_modern_stack_spark.registry import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cand = minhash_lsh_candidates(d)
+    tau = 0.5
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, min_jaccard=tau)
+        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify_pairs(d, cand, min_jaccard=tau).collect()
+    }
+    assert got == want
+    assert len(got) > 0
