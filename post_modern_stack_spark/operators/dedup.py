@@ -640,7 +640,14 @@ def jaccard_verify_pairs(
     Output: (id_a, id_b, jaccard) for candidate pairs with jaccard ≥
     ``min_jaccard`` — identical to ``jaccard_pairs(...)`` semi-joined
     to ``candidates`` (pinned by tests), as long as candidates use the
-    same id_a < id_b convention. One caveat at ``min_jaccard == 0``:
+    same id_a < id_b convention. ``candidates`` must be DISTINCT pairs
+    (both in-repo generators are: the LSH candidates end in a
+    (id_a, id_b) groupBy, the prefix candidates in a distinct()) —
+    a duplicated input pair duplicates its output row here, where the
+    old semi-join shape silently absorbed it; no defensive distinct()
+    is added because it would cost a candidate-grain shuffle in every
+    pipeline to mask a malformed input. One caveat at
+    ``min_jaccard == 0``:
     a candidate pair sharing NO shingle is emitted here with
     jaccard 0.0, while ``jaccard_pairs`` never materializes it — pass
     a positive threshold (every verify pipeline does) for exact
