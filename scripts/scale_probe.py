@@ -580,6 +580,12 @@ def probe_text_queries(spark, path: str):
         "jaccard_prefix_streamverify_hot": lambda: dedup.jaccard_pairs_prefix(
             _hot_header_docs(load()), 0.5, verify="stream"
         ),
+        # r09 candidate-bound verify in the full LSH dedup pipeline
+        # (candidates -> exact verify -> connected components): the
+        # _fulljoin twin is the pre-r09 shape (all-pairs jaccard, then
+        # semi-filter to candidates), kept to quantify the change
+        "lsh_dedup_pipeline": lambda: _lsh_pipeline(load(), old=False),
+        "lsh_dedup_pipeline_fulljoin": lambda: _lsh_pipeline(load(), old=True),
         "gopher_rules": lambda: textstats.gopher_rules(load()),
         "bpe_pretokens": lambda: textstats.bpe_pretokens(load()),
         "dsir_weights": lambda: textstats.dsir_weights(
@@ -624,6 +630,25 @@ def _wide_vocab_docs(docs):
         ),
     )
     return docs.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def _lsh_pipeline(docs, old: bool):
+    """Full corpus-dedup pipeline over the wide-vocab corpus (~2%
+    planted neighbor duplicates): MinHash-LSH candidates → exact
+    Jaccard ≥ 0.5 → min-label clustering. ``old=True`` replays the
+    pre-r09 verify (full all-pairs join, semi-filtered to candidates);
+    ``old=False`` is the shipped candidate-bound array verify."""
+    from post_modern_stack_spark.operators import dedup as _dd
+
+    d = _wide_vocab_docs(docs)
+    cand = _dd.minhash_lsh_candidates(d)
+    if old:
+        verified = _dd.jaccard_pairs(d, min_jaccard=0.5).join(
+            cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+    else:
+        verified = _dd.jaccard_verify_pairs(d, cand, min_jaccard=0.5)
+    return _dd.cluster_pairs(verified)
 
 
 def _hot_header_docs(docs):
