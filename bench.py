@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -66,6 +67,53 @@ EXTRA_SWEEP_BUDGET_SEC = float(
 # at two samples after the main budget, and is flagged in
 # BENCH_DETAIL.json (VERDICT r08 item 2).
 BIMODAL_SPREAD = 3.0
+
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def parse_sf(sf_dir: str) -> tuple[str, object]:
+    """(sf_token, sf_value) from the data-dir path. Strict ``sf<N>``
+    leaf regex (ADVICE r09: the old rsplit('sf') token was used to
+    build BOTH a filename and a float, so a path without an sf leaf
+    produced a slash-containing detail filename — open() raised AFTER
+    the whole sweep completed — and a token like '0.0.1' passed the
+    isdigit guard but crashed float()). Non-matching paths fall back
+    to a sanitized slug with a string sf value."""
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)$", sf_dir.rstrip("/"))
+    if m:
+        return m.group(1), float(m.group(1))
+    slug = re.sub(
+        r"[^A-Za-z0-9._-]", "_", os.path.basename(sf_dir.rstrip("/")) or "unknown"
+    )
+    return slug, slug
+
+
+def load_py_band_queries(plans_path: str | None = None) -> set[str]:
+    """Queries whose physical plan contains Arrow/Python operators —
+    the ``py-ops`` column of the committed PLANS.md inventory. These
+    are the band-exposed class: their cost includes Python-worker
+    startup/state that this host swings 1.4–9× between windows (the
+    r08 media_jpeg_pipeline spike, the r09 media_video_frames drift),
+    so bench policy guarantees them a median-of-3 (VERDICT r09 item 2)
+    and checks them against their quiet-median HISTORY, not just the
+    previous artifact."""
+    path = plans_path or os.path.join(_REPO_DIR, "PLANS.md")
+    out: set[str] = set()
+    try:
+        with open(path) as f:
+            for line in f:
+                if not line.startswith("| `"):
+                    continue
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) < 10:
+                    continue
+                py = cells[-1]
+                if py not in ("", "—", "-", "0"):
+                    out.add(cells[0].strip("`"))
+    except OSError:
+        pass
+    return out
 
 
 def is_bimodal(vals: list[float]) -> bool:
@@ -166,6 +214,72 @@ def _print_median_regressions(
         )
 
 
+def check_band_history(
+    history: dict,
+    timings: dict[str, float],
+    band: set[str],
+    threshold: float = 1.5,
+) -> list[tuple[str, float, float, float, list[float]]]:
+    """Drift check for the Python-operator band vs its QUIET-MEDIAN
+    HISTORY (VERDICT r09 item 2: media_video_frames moved 1.43× across
+    two artifacts without tripping the prev-artifact diff because each
+    sweep only sees its predecessor — slow uniform drift needs the
+    whole history as the comparator). ``history`` maps query →
+    chronological list of recorded sweep medians at the default sf;
+    returns (name, current, history_median, ratio, history_tail) for
+    every band query whose current median is >threshold× off the
+    median of its history. Pure function — the caller prints and
+    persists."""
+    out = []
+    for name in sorted(band):
+        cur = timings.get(name, -1)
+        hist = [v for v in history.get(name, []) if v > 0]
+        if cur <= 0 or len(hist) < 3:
+            continue
+        ref = sorted(hist)[len(hist) // 2]
+        ratio = cur / ref
+        if ratio > threshold or ratio < 1 / threshold:
+            out.append((name, cur, ref, ratio, hist[-5:]))
+    return out
+
+
+def _update_band_history(
+    history_path: str, timings: dict[str, float], band: set[str], cap: int = 12
+) -> list:
+    """Print band-history drift vs the committed BENCH_HISTORY.json,
+    then append this sweep's medians (all queries, most recent last,
+    capped) and rewrite the file. Default-sf sweeps only — history at
+    mixed sfs would compare incomparables."""
+    try:
+        with open(history_path) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        history = {}
+    drift = check_band_history(history, timings, band)
+    for name, cur, ref, ratio, tail in drift:
+        print(
+            f"bench: band-history DRIFT {name}: {cur:.3f}s vs quiet-median "
+            f"{ref:.3f}s ({ratio:.2f}x; last medians {tail})",
+            file=sys.stderr,
+        )
+    if not drift:
+        print(
+            f"bench: band-history clean — {len(band)} py-op queries within "
+            "1.5x of their quiet-median history",
+            file=sys.stderr,
+        )
+    for name, t in timings.items():
+        if t > 0:
+            history.setdefault(name, []).append(t)
+            history[name] = history[name][-cap:]
+    try:
+        with open(history_path, "w") as f:
+            json.dump(history, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return drift
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -175,6 +289,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    py_band = load_py_band_queries() & set(qs)
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup
@@ -212,9 +327,17 @@ def main() -> None:
             # min and the driver then recorded the slow mode — a
             # bimodal query needs its tie-breaking sample more than a
             # merely-slow query needs its 3rd).
+            # ...and the Python-operator band rides right behind the
+            # bimodal queue-jumpers (VERDICT r09 item 2): py-op queries
+            # are the band-exposed class, so when the budget truncates
+            # a sweep they must not be the ones left at <3 samples.
             order = sorted(
                 (n for n in qs if samples[n]),
-                key=lambda n: (-is_bimodal(samples[n]), -samples[n][0]),
+                key=lambda n: (
+                    -is_bimodal(samples[n]),
+                    -(n in py_band),
+                    -samples[n][0],
+                ),
             )
         for name in order:
             if name in failed:
@@ -259,11 +382,15 @@ def main() -> None:
             continue
         break  # budget reached: stop outer sweeps too
 
-    # Forced tiebreak pass (VERDICT r08 item 2): any query left with
-    # exactly two samples disagreeing >3x gets its third sample even
+    # Forced tiebreak pass (VERDICT r08 item 2 + r09 item 2): any query
+    # left with two samples disagreeing >3x gets its third sample even
     # though the main budget is spent — min-of-2 on a bimodal
-    # distribution writes a one-sided artifact silently. Bounded so
-    # the driver's 600 s timeout still clears: combined wall clock is
+    # distribution writes a one-sided artifact silently — and any
+    # PYTHON-OPERATOR-BAND query still under 3 samples gets topped up
+    # too (that class lives in the host's Python-worker noise band, so
+    # its point estimate needs the median-of-3 guarantee regardless of
+    # whether the first two samples happened to agree). Bounded so the
+    # driver's 600 s timeout still clears: combined wall clock is
     # capped at EXTRA_SWEEP_BUDGET_SEC + 60, cheapest suspects first.
     tb_deadline = EXTRA_SWEEP_BUDGET_SEC + 60.0
     suspects = sorted(
@@ -271,34 +398,44 @@ def main() -> None:
             n
             for n in qs
             if n not in failed
-            and len(samples[n]) == 2
-            and is_bimodal(samples[n])
+            and samples[n]
+            and len(samples[n]) < REPS
+            and (
+                (len(samples[n]) == 2 and is_bimodal(samples[n]))
+                or n in py_band
+            )
         ),
         key=lambda n: min(samples[n]),
     )
     for name in suspects:
-        remaining = tb_deadline - (time.perf_counter() - total0)
-        if min(samples[name]) > remaining:
-            continue
-        t0 = time.perf_counter()
-        try:
-            samples[name].append(run_once(name))
-            print(
-                f"bench: tiebreak sample for bimodal {name}: "
-                f"samples now {samples[name]}",
-                file=sys.stderr,
-            )
-        except Exception as e:
-            failed.add(name)
-            failed_elapsed += time.perf_counter() - t0
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+        while name not in failed and len(samples[name]) < REPS:
+            remaining = tb_deadline - (time.perf_counter() - total0)
+            # admit on the SLOWEST prior sample (ADVICE r09): a bimodal
+            # suspect's slow mode is by definition >3x its min, so a
+            # min-based prediction could overrun the cap by a full
+            # slow-mode runtime — a suspect whose slow mode cannot fit
+            # keeps its flagged min-of-2 instead.
+            if max(samples[name]) > remaining:
+                break
+            t0 = time.perf_counter()
+            try:
+                samples[name].append(run_once(name))
+                print(
+                    f"bench: tiebreak sample for "
+                    f"{'bimodal' if is_bimodal(samples[name]) else 'py-band'} "
+                    f"{name}: samples now {samples[name]}",
+                    file=sys.stderr,
+                )
+            except Exception as e:
+                failed.add(name)
+                failed_elapsed += time.perf_counter() - t0
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     timings = {n: estimate(v) for n, v in samples.items()}
 
     total = round(sum(t for t in timings.values() if t > 0) + failed_elapsed, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sf, sf_val = parse_sf(sf_dir)
 
     # Full per-query timings go to a sidecar the driver's end-of-round
     # commit picks up, so round-over-round regression diffing stays
@@ -334,6 +471,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     _print_median_regressions(detail_path, timings, sf_val)
+    if detail_name == "BENCH_DETAIL.json":
+        # default-sf sweeps also check the Python-operator band against
+        # its quiet-median HISTORY and extend it (VERDICT r09 item 2)
+        _update_band_history(
+            os.path.join(_REPO_DIR, "BENCH_HISTORY.json"), timings, py_band
+        )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -347,7 +490,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        # the actual sidecar written above — non-default sfs get an
+        # sf-suffixed name, and pointing the reader at the default-sf
+        # artifact would be stale (ADVICE r09)
+        "detail": detail_name,
         "sf": sf_val,
     }
     if failed:

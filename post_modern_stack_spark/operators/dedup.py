@@ -819,8 +819,17 @@ def jaccard_pairs_auto(
     text_col: str = "text",
     shingle_n: int = 3,
     skew_threshold: float = 16.0,
+    precomputed_fanout: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Skew-routed exact Jaccard ≥ τ (VERDICT r08: prefix filtering is
+    """EAGER AT CONSTRUCTION: runs one corpus-scale frequency-aggregate
+    job (a blocking 1-row collect) to pick the route BEFORE returning
+    the DataFrame — the routing decision is frozen against the data as
+    of this call, not re-evaluated at action time. Pipelines that
+    already know the corpus shape can pass
+    ``precomputed_fanout=(fanout, rows)`` to skip the stat job and
+    stay lazy (ADVICE r09).
+
+    Skew-routed exact Jaccard ≥ τ (VERDICT r08: prefix filtering is
     3.4× SLOWER than the plain shingle self-join at 1M docs when
     shingles are mostly unique — its frequency agg, per-doc ranking
     window, candidate distinct and semi-join verify are pure overhead
@@ -847,18 +856,21 @@ def jaccard_pairs_auto(
     (>9 min, 10k docs). Mostly-unique 1M-doc corpora (≪1 fan-out/row)
     measured plain 3.4× faster than prefix in r08.
     """
-    sh = shingle_stream(df, id_col, text_col, shingle_n)
-    stats = (
-        sh.groupBy("shingle_h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("fanout"),
-            F.sum("c").alias("rows"),
+    if precomputed_fanout is not None:
+        fanout, rows = float(precomputed_fanout[0]), float(precomputed_fanout[1])
+    else:
+        sh = shingle_stream(df, id_col, text_col, shingle_n)
+        stats = (
+            sh.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("fanout"),
+                F.sum("c").alias("rows"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    fanout = float(stats["fanout"] or 0.0)
-    rows = float(stats["rows"] or 1.0)
+        fanout = float(stats["fanout"] or 0.0)
+        rows = float(stats["rows"] or 1.0)
     if fanout / max(rows, 1.0) > skew_threshold:
         return jaccard_pairs_prefix(
             df,

@@ -275,6 +275,41 @@ def test_jaccard_auto_routes_by_skew(spark):
         assert prefix.call_args.kwargs.get("verify") == "arrays"
 
 
+def test_jaccard_auto_precomputed_fanout_skips_stat_job(spark):
+    """ADVICE r09: jaccard_pairs_auto is eager at construction (the
+    routing stat is a blocking corpus-scale job). Pipelines that know
+    the corpus shape pass precomputed_fanout to stay lazy — verify the
+    stat job is skipped and the supplied statistic drives the route."""
+    from unittest import mock
+
+    from post_modern_stack_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(
+        dedup, "shingle_stream", wraps=dedup.shingle_stream
+    ) as stream, mock.patch.object(
+        dedup, "jaccard_pairs", wraps=dedup.jaccard_pairs
+    ) as plain, mock.patch.object(
+        dedup, "jaccard_pairs_prefix", wraps=dedup.jaccard_pairs_prefix
+    ) as prefix:
+        # low fan-out -> plain; the stat stream must NOT be built here
+        # (jaccard_pairs builds its own once; the stat path would add
+        # a second shingle_stream call plus a blocking collect)
+        dedup.jaccard_pairs_auto(docs, 0.5, precomputed_fanout=(10.0, 1000.0))
+        plain.assert_called_once()
+        prefix.assert_not_called()
+        assert stream.call_count == 1
+        stream.reset_mock()
+        plain.reset_mock()
+        # high fan-out -> prefix+arrays
+        dedup.jaccard_pairs_auto(docs, 0.5, precomputed_fanout=(1e6, 1000.0))
+        plain.assert_not_called()
+        prefix.assert_called_once()
+
+
 def test_jaccard_verify_pairs_equals_full_join_semi_filter(spark):
     """jaccard_verify_pairs(candidates) must reproduce EXACTLY the old
     pipeline shape — jaccard_pairs(tau) semi-joined to candidates —
