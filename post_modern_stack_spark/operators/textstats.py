@@ -608,6 +608,81 @@ def remove_duplicate_spans(
     probe restriction stays exact — a c==1 key held by a probe doc is
     owned by it in any superset.
     """
+    return _span_trim_frame(
+        df, text_col, n, id_col, hashed_keys, per_key, with_share=False
+    )
+
+
+def substring_share_and_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    hashed_keys: bool = True,
+    per_key: DataFrame | None = None,
+) -> DataFrame:
+    """FUSED measurement + removal of Lee et al. 2022 substring dedup
+    (VERDICT r09 item 2): one positional resolution yields BOTH the
+    trim (``remove_duplicate_spans`` columns: n_tokens, n_kept,
+    kept_text) and the doc-grain duplication measure
+    (``substring_dup_share`` columns: n_grams, n_dup_grams, dup_share)
+    in a single plan/action.
+
+    Why fusing is free on the measure side: the share's
+    ``n_dup_grams`` counts the positions whose gram occurs >1 time
+    corpus-wide — exactly the positions the trim already resolves into
+    its per-doc ``__dups`` list — so the share falls out as
+    ``len(__dups)`` with ``n_grams`` from arithmetic; no second
+    consumption of the gram-key aggregate, no separate uniq-subtract
+    pass. The 30M stage split (BASELINE.md) showed the standalone
+    share (938.9 s) and trim (908.5 s) stages are ~79% of the spans
+    funnel, and at scale the funnel's recompute route paid the
+    corpus-grain gram-key aggregate ONCE PER STAGE because the stages
+    ran in separate actions across a checkpoint boundary — fused, the
+    aggregate runs once and ReuseExchange shares it between its two
+    in-plan consumers (duplicated-keys build side + the probe
+    restriction), as in the standalone trim.
+
+    Output grain: one row per input doc (like the trim; the
+    share-only operator excludes docs with < n tokens — here they
+    carry n_grams = 0, n_dup_grams = 0 and a NULL dup_share).
+    ``dup_share`` is rounded via Spark's ``F.round`` AFTER the Arrow
+    pass so it is bit-identical to ``substring_dup_share`` (Python's
+    banker's rounding differs on exact half-ULP ties).
+
+    Semantics exactly match running both operators over the same
+    corpus/per_key (parity-pinned in tests): trim masks depend only on
+    the corpus-wide key counts and the doc's own positions, and
+    ``n_dup_grams = n_grams − #{c==1 keys owned}`` ≡ the count of
+    dup-key positions (a c==1 key has exactly one position
+    corpus-wide, owned by its holder; intra-doc repeats have c ≥ 2 and
+    every occurrence counts duplicated in both forms)."""
+    out = _span_trim_frame(
+        df, text_col, n, id_col, hashed_keys, per_key, with_share=True
+    )
+    return out.withColumn(
+        "dup_share",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        ),
+    )
+
+
+def _span_trim_frame(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    id_col: str,
+    hashed_keys: bool,
+    per_key: DataFrame | None,
+    with_share: bool,
+) -> DataFrame:
+    """Shared engine of ``remove_duplicate_spans`` (with_share=False)
+    and ``substring_share_and_trim`` (True — adds the integer share
+    counters n_grams / n_dup_grams to the Arrow pass; the rounded
+    ratio is applied JVM-side by the caller). Scale shape documented
+    on ``remove_duplicate_spans``."""
     import re
 
     import numpy as np
@@ -655,6 +730,8 @@ def remove_duplicate_spans(
     )
 
     schema = f"{id_col} {id_type}, n_tokens long, n_kept long, kept_text string"
+    if with_share:
+        schema += ", n_grams long, n_dup_grams long"
     # Java \s == [ \t\n\x0B\f\r]; Python \s additionally matches
     # Unicode whitespace — spell the class out so trim positions match
     # the Spark split exactly. re.split with this pattern also keeps
@@ -664,6 +741,7 @@ def remove_duplicate_spans(
     def trim(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             ids, n_tok, n_kept, kept = [], [], [], []
+            n_g, n_dup = [], []
             for doc_id, text, dups in zip(
                 pdf[id_col].values, pdf["__text"].values, pdf["__dups"].values
             ):
@@ -676,14 +754,19 @@ def remove_duplicate_spans(
                 n_tok.append(len(words))
                 n_kept.append(int(mask.sum()))
                 kept.append(" ".join(w for w, m in zip(words, mask) if m))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_tokens": n_tok,
-                    "n_kept": n_kept,
-                    "kept_text": kept,
-                }
-            )
+                if with_share:
+                    n_g.append(max(len(words) - n + 1, 0))
+                    n_dup.append(len(dups) if dups is not None else 0)
+            cols = {
+                id_col: ids,
+                "n_tokens": n_tok,
+                "n_kept": n_kept,
+                "kept_text": kept,
+            }
+            if with_share:
+                cols["n_grams"] = n_g
+                cols["n_dup_grams"] = n_dup
+            yield pd.DataFrame(cols)
 
     return src.mapInPandas(trim, schema=schema)
 
@@ -895,12 +978,17 @@ def curate_documents(
     3b. ``trimmed`` (``span_trim=True`` only) — Lee et al. 2022's
        ACTUAL removal step, not just the doc-drop summary: every token
        covered by an 8-gram span duplicated in the DEDUPED corpus
-       inside the surviving ``near`` docs is cut
-       (remove_duplicate_spans over the shared gram-key aggregate) and
-       the document text replaced by the surviving tokens; docs
-       trimmed to zero tokens drop. Downstream stages
-       (decontamination, budget) then operate on the TRIMMED text, as
-       the paper's pipeline does;
+       inside the surviving ``near`` docs is cut and the document text
+       replaced by the surviving tokens; docs trimmed to zero tokens
+       drop. Downstream stages (decontamination, budget) then operate
+       on the TRIMMED text, as the paper's pipeline does. With
+       span_trim, stages 3 and 3b run FUSED
+       (``substring_share_and_trim``, r10): one positional resolution
+       in one action yields both the share gate and the trim — the
+       r07–r09 form ran them as separate actions and the recompute
+       route paid the corpus-grain gram-key aggregate once per stage
+       (the checkpoint alternative spilled 17.5 GB at 10M docs for
+       ~5%, r08 measurement);
     4. ``clean``    — benchmark decontamination: drop docs sharing any
        ``contam_n``-gram with the benchmark set;
     5. ``final``    — token budget: keep docs, in doc_id order, while
@@ -936,36 +1024,54 @@ def curate_documents(
     # codegen'd gram construction twice. Checkpoint ROWS only when
     # recompute repeats a SHUFFLE, never to save scan-side CPU.
     #
-    # The gram-KEY aggregate (VERDICT r07 item 4): with span_trim the
-    # share stage and the removal stage consume the SAME (gkey, c,
-    # min-id) aggregate over the deduped corpus, so the removal trims
-    # spans duplicated in the DEDUPED corpus (the paper's grain — the
-    # full corpus, not the post-doc-drop survivors). The stages run in
-    # SEPARATE actions (ReuseExchange can't cross the `near`
-    # checkpoint), so sharing physically means materializing —
-    # measured BOTH ways at 10M docs / p=256, same host window (r08):
-    # localCheckpoint-ed aggregate 1118.5 s total (the checkpoint
-    # itself took 413.8 s and spilled 17.5 GB to disk), recompute
-    # 1181.1 s — a wash at 10M; at sf0.1 the checkpoint is ~free and
-    # saves a whole gram-agg recompute (4.3 s vs 5.7 s). But the key
-    # grain is CORPUS-PROPORTIONAL (~450M rows at 10M docs), exactly
-    # the grain class whose materialization OOM'd dsir_weights, so
-    # unbounded-corpus runs must recompute. Default (None) routes by
-    # corpus size — deduped is already materialized, so the count is
-    # a local-block scan — checkpointing small corpora where it wins
-    # and recomputing past 2M docs where the storage hazard outgrows
-    # the ~5% edge (same auto-routing precedent as
-    # dedup.semantic_dedup_auto).
-    per_key = None
+    stages_mid: dict[str, DataFrame] = {}
     if span_trim:
+        # FUSED share+trim (VERDICT r09 item 2): the r07–r09 form ran
+        # the share and the removal as SEPARATE actions over the same
+        # gram-key aggregate — ReuseExchange can't cross the `near`
+        # checkpoint, so the recompute route (the unbounded-corpus
+        # default; the checkpoint alternative measured 17.5 GB of
+        # spill at 10M docs for ~5%) paid the corpus-grain gram
+        # aggregate ONCE PER STAGE. substring_share_and_trim resolves
+        # duplicated positions once and derives the doc-grain share
+        # from the same stream, so the gram work runs in ONE action.
+        # The per_key checkpoint knob is kept for callers but no
+        # longer routed by corpus size: within a single action,
+        # ReuseExchange already shares the aggregate between its
+        # in-plan consumers, so materializing it buys nothing at any
+        # scale.
         per_key = gram_key_counts(deduped, text_col, n=8)
-        if checkpoint_gram_keys is None:
-            checkpoint_gram_keys = deduped.count() <= 2_000_000
         if checkpoint_gram_keys:
             per_key = per_key.localCheckpoint()
-    shares = substring_dup_share(deduped, text_col, n=8, per_key=per_key)
-    near = (
-        deduped.join(
+        fused = substring_share_and_trim(
+            deduped, text_col, n=8, per_key=per_key
+        )
+        # doc-grain checkpoint (the fused plan has two downstream
+        # consumers — the near gate and the trimmed swap — and its
+        # recompute would repeat the gram shuffles plus the Arrow
+        # trim). kept_text is nulled for docs the trim didn't touch:
+        # the swap uses the original text there, so the materialized
+        # bytes stay proportional to TRIMMED docs, not the corpus.
+        fused = fused.select(
+            "doc_id",
+            "n_tokens",
+            "n_kept",
+            "n_grams",
+            "n_dup_grams",
+            "dup_share",
+            F.when(
+                (F.col("n_kept") < F.col("n_tokens")) & (F.col("n_kept") > 0),
+                F.col("kept_text"),
+            ).alias("kept_text"),
+        ).localCheckpoint()
+        # short docs (< 8 tokens) have NULL dup_share: trivially not
+        # near-dups, same rule as the unfused form's union branch
+        near_ids = fused.filter(
+            (F.col("dup_share") < dup_share_max) | F.col("dup_share").isNull()
+        ).select("doc_id")
+    else:
+        shares = substring_dup_share(deduped, text_col, n=8)
+        near_ids = (
             shares.filter(F.col("dup_share") < dup_share_max).select("doc_id")
             .unionAll(
                 # docs too short to have any 8-gram never enter
@@ -973,17 +1079,13 @@ def curate_documents(
                 deduped.filter(
                     F.size(F.split(F.col(text_col), r"\s+")) < 8
                 ).select("doc_id")
-            ),
-            "doc_id",
+            )
         )
-    ).localCheckpoint()
+    near = deduped.join(near_ids, "doc_id").localCheckpoint()
 
-    stages_mid: dict[str, DataFrame] = {}
     pre_clean = near
     if span_trim:
-        trim_info = remove_duplicate_spans(
-            near, text_col=text_col, n=8, per_key=per_key
-        )
+        trim_info = fused
         # swap in kept_text ONLY for docs the trim actually touched
         # (ADVICE r07: kept_text rejoins tokens with single spaces, so
         # swapping it in unconditionally silently collapsed whitespace

@@ -842,6 +842,69 @@ def q_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "share_and_trim",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks) - 7)) AS p, toks
+      FROM t WHERE len(toks) >= 8
+    ),
+    pg AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(toks, p + 1, p + 8), ' ') AS gram
+      FROM pos
+    ),
+    dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) > 1),
+    dp AS (SELECT doc_id, p FROM pg JOIN dup USING (gram)),
+    nd AS (SELECT doc_id, count(*) AS n_dup FROM dp GROUP BY doc_id),
+    cov AS (SELECT DISTINCT doc_id, p + r.k AS j FROM dp, range(8) r(k)),
+    tok AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS j,
+             unnest(toks) AS w
+      FROM t
+    ),
+    trimmed AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN cov.j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN cov.j IS NULL THEN tok.w END,
+                                 ' ' ORDER BY tok.j), '') AS kept_text
+      FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+      GROUP BY tok.doc_id
+    )
+    SELECT tr.doc_id, tr.n_tokens, tr.n_kept, tr.kept_text,
+           CAST(CASE WHEN tr.n_tokens >= 8 THEN tr.n_tokens - 7
+                     ELSE 0 END AS BIGINT) AS n_grams,
+           CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN tr.n_tokens >= 8
+                THEN round(coalesce(nd.n_dup, 0)::DOUBLE
+                           / (tr.n_tokens - 7), 6)
+           END AS dup_share
+    FROM trimmed tr LEFT JOIN nd USING (doc_id)
+    """,
+)
+def q_share_and_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] FUSED Lee et al. 2022 substring dedup — measurement AND
+    removal from one positional resolution
+    (textstats.substring_share_and_trim, r10): the trim's duplicated
+    positions ARE the share's duplicated-gram count, so one gram-key
+    aggregate + one positional join yield both the doc-grain
+    `substring_dup_share` columns and the `span_dedup_trim` columns in
+    a single action. This is the form `curate_documents(span_trim=
+    True)` runs — the unfused stages measured 938.9 + 908.5 s at 30M
+    docs (~79% of the spans funnel) with the gram aggregate paid once
+    per stage across the checkpoint boundary. Oracle replays
+    positions, coverage, the trimmed string byte-for-byte, and the
+    share arithmetic (NULL share for docs too short to hold an
+    8-gram)."""
+    return textstats.substring_share_and_trim(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+
+
+@query(
     "unigram_logprob",
     oracle="""
     WITH occ AS (

@@ -531,6 +531,11 @@ def probe_text_queries(spark, path: str):
         "text_stats": lambda: textstats.text_stats(load()),
         "substring_dup_share": lambda: textstats.substring_dup_share(load(), n=8),
         "span_trim": lambda: textstats.remove_duplicate_spans(load(), n=8),
+        # r10 fusion: one positional resolution yields share AND trim —
+        # compare against substring_dup_share + span_trim run separately
+        "share_and_trim": lambda: textstats.substring_share_and_trim(
+            load(), n=8
+        ),
         "unigram_logprob": lambda: textstats.unigram_logprob(load()),
         "bigram_perplexity": lambda: textstats.bigram_perplexity(load()),
         "sorted_neighborhood": lambda: textstats.sorted_neighborhood_pairs(load()),
@@ -558,6 +563,13 @@ def probe_text_queries(spark, path: str):
             load().filter(F.col("doc_id") % 97 == 0),
             span_trim=True,
         )["final"],
+        # pre-r10 spans funnel (share gate and span trim as SEPARATE
+        # actions over the gram-key aggregate, recompute route) — kept
+        # as the same-window A/B twin quantifying the r10 fusion
+        "curation_final_spans_unfused": lambda: _unfused_spans_funnel(
+            load().filter(F.col("doc_id") % 97 != 0),
+            load().filter(F.col("doc_id") % 97 == 0),
+        ),
         "jaccard_pairs": lambda: dedup.jaccard_pairs(
             _wide_vocab_docs(load()), min_jaccard=0.5
         ),
@@ -649,6 +661,64 @@ def _lsh_pipeline(docs, old: bool):
     else:
         verified = _dd.jaccard_verify_pairs(d, cand, min_jaccard=0.5)
     return _dd.cluster_pairs(verified)
+
+
+def _unfused_spans_funnel(docs, benchmark):
+    """Byte-exact replay of the r07–r09 curate_documents(span_trim=
+    True) wiring (git HEAD@r09): share gate and span trim as separate
+    actions, per_key on the recompute route (the >2M-doc default), so
+    the corpus-grain gram-key aggregate runs once per stage. The r10
+    funnel fused the two stages (substring_share_and_trim); this twin
+    measures what the fusion saves in the same host window."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators import textstats as ts
+
+    q = ts.quality_score(docs).filter(F.col("quality") >= 0.66)
+    quality = docs.join(q.select("doc_id"), "doc_id")
+    deduped = ts.exact_keep_min(quality).localCheckpoint()
+    per_key = ts.gram_key_counts(deduped, "text", n=8)  # recompute route
+    shares = ts.substring_dup_share(deduped, n=8, per_key=per_key)
+    near = (
+        deduped.join(
+            shares.filter(F.col("dup_share") < 0.8).select("doc_id")
+            .unionAll(
+                deduped.filter(
+                    F.size(F.split(F.col("text"), r"\s+")) < 8
+                ).select("doc_id")
+            ),
+            "doc_id",
+        )
+    ).localCheckpoint()
+    trim_info = ts.remove_duplicate_spans(near, n=8, per_key=per_key)
+    trimmed = (
+        near.withColumnRenamed("text", "__orig")
+        .join(
+            trim_info.filter(F.col("n_kept") > 0).select(
+                "doc_id", "n_tokens", "n_kept", "kept_text"
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("n_kept") < F.col("n_tokens"), F.col("kept_text")
+            ).otherwise(F.col("__orig")),
+        )
+        .drop("__orig", "n_tokens", "n_kept", "kept_text")
+        .localCheckpoint()
+    )
+    contaminated = (
+        ts.contamination_pairs(trimmed, benchmark, n=8)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = trimmed.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    sizes = clean.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("__nt")
+    )
+    keep_ids = ts.token_budget_keep_ids(sizes, 0.5, chunked=True)
+    return clean.join(keep_ids, "doc_id", "left_semi")
 
 
 def _hot_header_docs(docs):

@@ -303,6 +303,50 @@ def test_remove_duplicate_spans_planted(spark):
     assert got[4]["n_kept"] == 2
 
 
+def test_substring_share_and_trim_matches_both_operators(spark):
+    """The fused form (r10) must be value-identical to running the two
+    operators it fuses: trim columns ≡ remove_duplicate_spans, share
+    columns ≡ substring_dup_share (docs ≥ n tokens) with 0/0/NULL for
+    shorter docs. Fixture covers the hostile cases: a cross-doc span,
+    an intra-doc repeat (c≥2 key owned by its own holder — the case
+    where 'dup positions' and 'n_grams − uniq' could diverge if either
+    form mishandled ownership), a fully-unique doc, a sub-n doc, and
+    leading whitespace (empty boundary tokens occupy positions)."""
+    from post_modern_stack_spark.operators.textstats import (
+        remove_duplicate_spans,
+        substring_dup_share,
+        substring_share_and_trim,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(8))
+    rows = [
+        (0, f"alpha beta {span} gamma delta"),
+        (1, f"eps zeta {span} eta theta"),
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (3, f"{span} mid0 mid1 {span}"),
+        (4, "tiny doc"),
+        (5, f"  lead ws {span} tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {r["doc_id"]: r for r in substring_share_and_trim(df, n=8).collect()}
+    trim = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=8).collect()}
+    share = {r["doc_id"]: r for r in substring_dup_share(df, n=8).collect()}
+
+    assert set(fused) == set(trim) == {0, 1, 2, 3, 4, 5}
+    for i, r in trim.items():
+        for c in ("n_tokens", "n_kept", "kept_text"):
+            assert fused[i][c] == r[c], (i, c)
+    for i, r in share.items():  # only docs with >= 8 tokens
+        for c in ("n_grams", "n_dup_grams", "dup_share"):
+            assert fused[i][c] == r[c], (i, c)
+    # sub-n docs: 0 grams, NULL share (the share operator omits them)
+    assert 4 not in share
+    assert (fused[4]["n_grams"], fused[4]["n_dup_grams"]) == (0, 0)
+    assert fused[4]["dup_share"] is None
+    # intra-doc repeat measured at BOTH positions in both forms
+    assert fused[3]["n_dup_grams"] == share[3]["n_dup_grams"] > 0
+
+
 def test_curation_pipeline_stages(spark):
     """Planted fixtures must fall at the right stage: junk fails
     quality, a byte-identical copy dies at exact dedup, a benchmark
@@ -334,6 +378,82 @@ def test_curation_pipeline_stages(spark):
     # a tighter budget keeps the doc_id-orderered prefix
     tight = textstats.curate_documents(docs, benchmark, budget_frac=0.6)
     assert sorted(r["doc_id"] for r in tight["final"].select("doc_id").collect()) == [1]
+
+
+def test_curate_spans_funnel_fused_matches_unfused_composition(spark):
+    """curate_documents(span_trim=True) fused its share gate and span
+    trim in r10 — every stage's (doc_id, text) set must equal the
+    manual unfused composition: share-gate over deduped (short docs
+    trivially kept), then remove_duplicate_spans(per_key over DEDUPED)
+    applied to the survivors, zero-trim docs dropped, touched docs
+    swapped to kept_text."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators import textstats
+    from post_modern_stack_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant a cross-doc repeated 8-token span inside otherwise-unique
+    # long docs: low dup_share (survives the gate) but a real trim —
+    # keeps the trimmed-stage parity below non-vacuous at any sf
+    span = "the weather report said rain would fall on tuesday"
+    planted = spark.createDataFrame(
+        [
+            (
+                10_000_001 + i,
+                " ".join(f"pre{i}x{j}" for j in range(10))
+                + f" {span} "
+                + " ".join(f"post{i}y{j}" for j in range(10)),
+                "en",
+                "planted",
+                0,
+            )
+            for i in range(2)
+        ],
+        docs.schema,
+    )
+    docs = docs.unionAll(planted)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).limit(8)
+    stages = textstats.curate_documents(
+        docs, bench, span_trim=True, dup_share_max=0.5
+    )
+
+    # unfused replay from the funnel's own deduped stage
+    deduped = stages["deduped"]
+    shares = textstats.substring_dup_share(deduped, n=8)
+    keep = shares.filter(F.col("dup_share") < 0.5).select("doc_id").unionAll(
+        deduped.filter(F.size(F.split(F.col("text"), r"\s+")) < 8).select(
+            "doc_id"
+        )
+    )
+    near_ref = deduped.join(keep, "doc_id")
+    per_key = textstats.gram_key_counts(deduped, "text", n=8)
+    trim = textstats.remove_duplicate_spans(near_ref, n=8, per_key=per_key)
+    trimmed_ref = (
+        near_ref.withColumnRenamed("text", "__orig")
+        .join(trim.filter(F.col("n_kept") > 0), "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_kept") < F.col("n_tokens"), F.col("kept_text")
+            ).otherwise(F.col("__orig")).alias("text"),
+        )
+    )
+
+    def key_set(df):
+        return {(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()}
+
+    assert key_set(stages["near"]) == key_set(near_ref)
+    assert key_set(stages["trimmed"]) == key_set(trimmed_ref)
+    # the funnel must have actually trimmed something at this sf, or
+    # the parity above is vacuous
+    n_touched = (
+        stages["trimmed"]
+        .join(stages["near"].select("doc_id", F.col("text").alias("__t")), "doc_id")
+        .filter(F.col("text") != F.col("__t"))
+        .count()
+    )
+    assert n_touched > 0
 
 
 def test_whiten_embeddings_identity_covariance(spark):

@@ -238,6 +238,73 @@ def test_span_dedup_trim_gram_exchange_shuffles_once_at_runtime(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_share_and_trim_gram_exchange_shuffles_once_at_runtime(spark):
+    """The FUSED share+trim (r10) inherits the span_dedup_trim pin: its
+    gram-key aggregate feeds two in-plan consumers (duplicated-keys
+    build + probe restriction) but the position-grain exchange must
+    cross the wire once, served to the second consumer by
+    ReuseExchange. This pin is what makes the funnel fusion a real
+    saving — if the exchange split back in two, the fused action would
+    quietly pay the gram aggregate twice again."""
+    df = entry_mod.queries()["share_and_trim"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(__d0" in optimized, (
+        "the vacuous __d0 IsNotNull pin was optimized away\n" + optimized
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    import re
+
+    gram_exchanges = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"\bExchange hashpartitioning\(gkey", ln)
+        and "ReusedExchange" not in ln
+    ]
+    assert len(gram_exchanges) == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_curate_spans_funnel_uses_fused_operator(spark):
+    """Wiring pin for the r10 fusion: curate_documents(span_trim=True)
+    must run ONE substring_share_and_trim (one action pays the gram
+    work once) and must NOT call the standalone share or trim
+    operators — the r07–r09 two-stage form paid the corpus-grain
+    gram-key aggregate once per stage across the `near` checkpoint."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators import textstats
+    from post_modern_stack_spark.registry import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.limit(2)
+    with mock.patch.object(
+        textstats,
+        "substring_share_and_trim",
+        wraps=textstats.substring_share_and_trim,
+    ) as fused, mock.patch.object(
+        textstats, "substring_dup_share", wraps=textstats.substring_dup_share
+    ) as share, mock.patch.object(
+        textstats,
+        "remove_duplicate_spans",
+        wraps=textstats.remove_duplicate_spans,
+    ) as trim:
+        stages = textstats.curate_documents(docs, bench, span_trim=True)
+        fused.assert_called_once()
+        share.assert_not_called()
+        trim.assert_not_called()
+        assert stages["final"].count() > 0
+        # the non-span funnel keeps the share-only derivation (no
+        # positional join when nothing needs positions)
+        fused.reset_mock()
+        textstats.curate_documents(docs, bench, span_trim=False)
+        fused.assert_not_called()
+        share.assert_called_once()
+
+
 def test_gram_queries_never_reslice_an_inline_split(spark):
     """Token-projection regression guard for the r07 3.5× gram-stage
     fix: a slicing lambda over an inline split() re-runs the split per
