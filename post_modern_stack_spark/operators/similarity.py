@@ -209,6 +209,51 @@ def _round_half_away(x):
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
+def rounded_pair_cosine(qv: str | F.Column, cv: str | F.Column) -> F.Column:
+    """Arrow-vectorized rounded cosine for candidate-pair scoring —
+    value-identical to ``F.round(cosine_similarity(a, b), 6)`` (parity
+    test-pinned, including the zero-vector NULL), kept as the MEASURED-
+    WORSE alternative and a cross-implementation parity anchor.
+
+    r10 controlled A/B (scripts/exp_pair_scoring.py, pinned 2M-pair
+    frame, interleaved, both orderings): the expression form JIT-warms
+    to **1.3-2.1 s / 2M pairs (~0.7 µs/row)** while this form sits at
+    **4.4-20.8 s**, bounded below by Arrow-serializing both 64-d
+    vectors (~1 KB/pair) to Python workers and exposed to the host's
+    Python-worker band. The cold first-run expression cost (the 18.6 s
+    round-0 sample, and the r08 "226 s for 32M joined rows" note) is
+    interpreter/C2-warmup plus join-row materialization — NOT the
+    steady state. ivf/lsh therefore default to ``score="expr"``; this
+    path exists for engines/debugging and to keep the negative result
+    reproducible.
+
+    Rounding is numpy round-half-away at 6 dp — the same convention as
+    ``brute_force_top_k_arrow`` (F.round/DuckDB-parity). Zero-norm
+    pairs come back NaN from the UDF and are mapped to NULL here so
+    callers keep ``cosine_similarity``'s nullif semantics.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.vstack(a.to_numpy()).astype(np.float64)
+        c = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", q, c)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = num / den
+        sims = _round_half_away(sims * 1_000_000.0) / 1_000_000.0
+        sims[den == 0] = np.nan
+        return pd.Series(sims)
+
+    c = pair_cos6(as_double_array(qv), as_double_array(cv))
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
 def quantized_planes(
     dim: int, bits: int, n_tables: int, seed: int = 42, scale: int = 1000
 ) -> list[list[list[int]]]:
@@ -308,14 +353,34 @@ def _train_centroids(
     )
     mat = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    return _lloyd_numpy(mat, n_centroids, iters, rng)
+
+
+def _lloyd_numpy(mat, k: int, iters: int, rng):
+    """Bounded-sample Lloyd iterations in GEMM form. The naive
+    ``(n, k, d)`` broadcast-subtract materializes gigabyte temps and
+    measured 45 s (k=256) / 115 s (k=1024) on the 10k x 64 training
+    sample — single-threaded driver time while 32 executor cores sat
+    idle, and the n-INDEPENDENT fixed cost that made ivf_top_k ~166 s
+    at every ladder size (r10). The identity |x|^2 - 2 x.c + |c|^2
+    plus bincount centroid updates runs the same iterations in
+    milliseconds. Same init draw from ``rng`` as the old loop; empty
+    clusters keep their previous centroid (same policy)."""
+    import numpy as np
+
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
         assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(centroids))
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz][:, None]
     return centroids
 
 
@@ -392,6 +457,7 @@ def ivf_top_k(
     quantize_scale: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    score: str = "expr",
 ) -> DataFrame:
     """Approximate top-K via IVF (inverted-file) partitioning — the
     FAISS-style scale path complementary to RP-LSH:
@@ -462,19 +528,38 @@ def ivf_top_k(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-        nearest_cell(F.col(vec_col)).alias("cell"),
+        # coalesce makes the join key provably non-null: without it,
+        # Catalyst infers isnotnull(cell) for the equi-join and the
+        # filter/project split evaluates the UDF TWICE on the corpus
+        # side (two full ArrowEvalPython passes — seen in the r10 plan
+        # audit; nearest_cell never returns null, so this is free)
+        F.coalesce(nearest_cell(F.col(vec_col)), F.lit(-1)).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    # candidate fan-out is n_probe/n_centroids of the corpus per query
+    # — millions of rows at ladder scale. score="expr" (default) keeps
+    # the cosine in the JVM (JIT-warmed ~0.7 µs/row — the r10 pinned-
+    # frame A/B beat the Arrow form 3-10x; see rounded_pair_cosine).
+    # NO pair dedup here: unlike LSH, IVF pairs are unique by
+    # construction (every corpus vector lives in exactly ONE cell and a
+    # query's probed cells are distinct), and the r10 ladder measured
+    # the old dropDuplicates as pure overhead — worse, hoisted before
+    # scoring it shuffled (qv, cv) wide rows (~1 KB/row x 10M
+    # candidates at the 10M rung: 420 s vs 147 s).
+    sim = (
+        rounded_pair_cosine("qv", "cv")
+        if score == "arrow"
+        else F.round(cosine_similarity("qv", "cv"), 6)
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn("cos_sim", sim)
         .select("query_id", "neighbor_id", "cos_sim")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return top_k_per_group(
         scored,
@@ -494,6 +579,7 @@ def rp_lsh_top_k(
     bits: int = 8,
     n_tables: int = 4,
     quantize_scale: int | None = None,
+    score: str = "expr",
 ) -> DataFrame:
     """Approximate top-K: multi-table LSH. Each of ``n_tables`` hash
     tables buckets on ``bits`` hyperplane signs (independent seeds);
@@ -526,15 +612,28 @@ def rp_lsh_top_k(
 
     q = with_buckets(queries, id_col, "query_id", "qv")
     c = with_buckets(corpus, id_col, "neighbor_id", "cv")
-    candidates = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    scored = candidates.withColumn(
-        "cos_sim", F.round(cosine_similarity("qv", "cv"), 6)
-    ).select("query_id", "neighbor_id", "cos_sim")
+    # r10 shape: score BEFORE the union-across-tables dedup. A pair
+    # colliding in t tables is scored t times — cheap, the JIT-warmed
+    # expression cosine is ~0.7 µs/row — but the dedup exchange then
+    # carries narrow (pair, cos_sim) rows instead of the (qv, cv)
+    # ~1 KB-wide ones (the payload that made the pre-r10 wide dedup a
+    # 3x regression in the ivf twin). Duplicate scores are identical,
+    # so which row survives the dedup is value-irrelevant. score="expr"
+    # (default) keeps the cosine in the JVM — the pinned-frame A/B beat
+    # the Arrow form 3-10x (see rounded_pair_cosine).
+    sim = (
+        rounded_pair_cosine("qv", "cv")
+        if score == "arrow"
+        else F.round(cosine_similarity("qv", "cv"), 6)
+    )
+    scored = (
+        joined.withColumn("cos_sim", sim)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     return top_k_per_group(
         scored,
         ["query_id"],
@@ -711,17 +810,9 @@ def pq_top_k(
         books = []
         for s in range(m):
             xs = mat[:, s * sub : (s + 1) * sub]
-            cb = xs[
-                rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)
-            ].copy()
-            for _ in range(5):
-                d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
-                for c in range(len(cb)):
-                    members = xs[assign == c]
-                    if len(members):
-                        cb[c] = members.mean(axis=0)
-            books.append(cb)
+            # GEMM-form Lloyd (see _lloyd_numpy) — the naive broadcast
+            # loop here cost ~1-2 s PER SUBSPACE x m subspaces
+            books.append(_lloyd_numpy(xs, n_codes, 5, rng))
         books_arr = np.stack(books)  # (m, n_codes, sub)
 
         @pandas_udf("array<int>")

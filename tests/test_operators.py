@@ -158,6 +158,43 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_arrow_pair_cosine_matches_expression_scoring(spark):
+    """rounded_pair_cosine (the r10 Arrow candidate-scoring path — the
+    measured-worse alternative kept as a parity anchor; score="expr" is
+    the shipped default) must be VALUE-IDENTICAL to the expression form
+    F.round(cosine_similarity, 6): full lsh+ivf result-set equality on
+    real embeddings, and the zero-vector pair must come back NULL (the
+    nullif contract), not NaN."""
+    from pyspark.sql import Row
+
+    from post_modern_stack_spark.operators import similarity
+    from post_modern_stack_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    for fn, kw in [
+        (similarity.rp_lsh_top_k, {"bits": 4}),
+        (similarity.ivf_top_k, {"n_centroids": 16, "n_probe": 4}),
+    ]:
+        arrow = {
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in fn(emb, queries, k=5, score="arrow", **kw).collect()
+        }
+        expr = {
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in fn(emb, queries, k=5, score="expr", **kw).collect()
+        }
+        assert arrow == expr, f"{fn.__name__} arrow/expr scoring diverged"
+
+    zero = spark.createDataFrame(
+        [Row(qv=[0.0, 0.0], cv=[1.0, 2.0]), Row(qv=[1.0, 0.0], cv=[1.0, 0.0])]
+    )
+    got = zero.select(
+        similarity.rounded_pair_cosine("qv", "cv").alias("c")
+    ).collect()
+    assert [r["c"] for r in got] == [None, 1.0]
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF with 4/16 probes must beat coarse-LSH recall on the same
     corpus (probing nearest cells is a targeted candidate set)."""
