@@ -228,30 +228,47 @@ def rounded_pair_cosine(qv: str | F.Column, cv: str | F.Column) -> F.Column:
     reproducible.
 
     Rounding is numpy round-half-away at 6 dp — the same convention as
-    ``brute_force_top_k_arrow`` (F.round/DuckDB-parity). Zero-norm
-    pairs come back NaN from the UDF and are mapped to NULL here so
-    callers keep ``cosine_similarity``'s nullif semantics.
+    ``brute_force_top_k_arrow`` (F.round/DuckDB-parity). Edge parity
+    with the expression form (ADVICE r10): NULL input vector → NULL
+    (``dot_product`` of NULL is NULL), zero-norm pair → NULL (the
+    ``nullif`` guard), a vector CONTAINING NaN → NaN (NaN/NaN survives
+    ``F.round``). The UDF returns a (val, kind) struct because Arrow's
+    pandas conversion coerces NaN→null in BOTH float64 and object
+    batches, so neither NULL nor NaN can ride the double column itself:
+    kind 0 = value, 1 = SQL NULL, 2 = NaN, decoded JVM-side.
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def pair_cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+    @pandas_udf("val double, kind tinyint")
+    def pair_cos6(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        q = np.vstack(a.to_numpy()).astype(np.float64)
-        c = np.vstack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", q, c)
-        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = num / den
-        sims = _round_half_away(sims * 1_000_000.0) / 1_000_000.0
-        sims[den == 0] = np.nan
-        return pd.Series(sims)
+        valid = np.array(
+            [x is not None and y is not None for x, y in zip(a, b)], dtype=bool
+        )
+        vals = np.zeros(len(a))
+        kinds = np.ones(len(a), dtype=np.int8)  # null-input rows → SQL NULL
+        if valid.any():
+            q = np.vstack(a[valid].to_numpy()).astype(np.float64)
+            c = np.vstack(b[valid].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", q, c)
+            den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = num / den
+            sims = _round_half_away(sims * 1_000_000.0) / 1_000_000.0
+            k = np.zeros(len(sims), dtype=np.int8)
+            k[np.isnan(sims)] = 2  # NaN elements → NaN (expression parity)
+            k[den == 0] = 1  # nullif(0) → SQL NULL
+            vals[valid] = np.nan_to_num(sims)
+            kinds[valid] = k
+        return pd.DataFrame({"val": vals, "kind": kinds})
 
-    c = pair_cos6(as_double_array(qv), as_double_array(cv))
-    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    s = pair_cos6(as_double_array(qv), as_double_array(cv))
+    return (
+        F.when(s.getField("kind") == 1, F.lit(None))
+        .when(s.getField("kind") == 2, F.lit(float("nan")))
+        .otherwise(s.getField("val"))
+    )
 
 
 def quantized_planes(
@@ -701,16 +718,19 @@ def pq_top_k(
     vec_col: str = "embedding",
     m: int = 4,
     n_codes: int = 16,
-    refine_factor: int = 3,
+    refine_factor: int | str = "auto",
     quantize_scale: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    max_auto_pool: int = 200_000,
 ) -> DataFrame:
     """Approximate top-K via product quantization (PQ, Jégou et al.
     TPAMI'11) — the memory-compression scale path complementary to
     IVF/LSH: at 100 TB the corpus's float vectors don't fit anywhere,
     but ``m`` uint8 codes per vector (D·4 bytes → m bytes, e.g. 64×
-    smaller) do.
+    smaller) do. NOTE: ``refine_factor="auto"`` (the default) runs one
+    aggregation job at CONSTRUCTION time to size the rerank pool — pass
+    an int to stay fully lazy (the catalog query and the oracle do).
 
     1. normalize + split each vector into ``m`` subvectors; train one
        ``n_codes``-word codebook per subspace on a bounded sample
@@ -739,6 +759,20 @@ def pq_top_k(
     pipeline is DuckDB-replayable. Normalization is skipped in this
     mode (a float divide would break integer exactness); the exact
     cosine rerank restores true ranking among the candidates.
+
+    ``refine_factor="auto"`` (VERDICT r10 item 2 — the pool-law
+    footgun): on clustered/near-tie corpora ADC cannot rank cluster
+    siblings, so measured recall ≈ min(1, pool/cluster) where
+    pool = k·refine_factor — a fixed small default silently returns
+    ~2% recall at 10M docs (r10 ladder). The trained codebooks ADAPT to
+    clusters, so the max same-code group size over the encoded corpus
+    tracks the largest near-tie cluster (measured: 123 estimated vs 135
+    planted at 100k); auto sizes pool = max(3k, 2·max_code_group),
+    capped at ``max_auto_pool`` with a warning (a cap hit means the
+    corpus has a near-tie cluster bigger than any sane rerank pool —
+    the caller should dedup first or accept partial recall). The stat
+    is ONE map-side-combined aggregation over the m-int code tuples —
+    O(corpus) with tiny shuffle rows, run once at construction.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -840,6 +874,29 @@ def pq_top_k(
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
+    if refine_factor == "auto":
+        # Pool law (see docstring): size the exact-rerank pool from the
+        # largest same-code group — the encoded corpus's own estimate of
+        # its biggest near-tie cluster. One agg; codes re-encode in the
+        # scoring pass rather than checkpointing a corpus-sized frame.
+        row = enc.groupBy("codes").count().agg(F.max("count")).first()
+        c_est = int(row[0] or 0)
+        pool = max(3 * k, 2 * c_est)
+        if pool > max_auto_pool:
+            import warnings
+
+            warnings.warn(
+                f"pq_top_k: auto rerank pool {pool} (max code-group "
+                f"{c_est}) exceeds max_auto_pool={max_auto_pool}; "
+                "capping — recall on the largest near-tie cluster will "
+                "be ~pool/cluster. Dedup the corpus first or pass an "
+                "explicit refine_factor.",
+                stacklevel=2,
+            )
+            pool = max_auto_pool
+        refine_factor = -(-pool // k)  # ceil
+    elif not isinstance(refine_factor, int):
+        raise ValueError(f"refine_factor must be an int or 'auto': {refine_factor!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )

@@ -194,6 +194,38 @@ def test_arrow_pair_cosine_matches_expression_scoring(spark):
     ).collect()
     assert [r["c"] for r in got] == [None, 1.0]
 
+    # ADVICE r10 edge parity vs F.round(cosine_similarity, 6): NULL
+    # input vector -> NULL (not a vstack crash); a vector CONTAINING
+    # NaN -> NaN (not NULL); interleaved with normal rows so the masked
+    # scatter path is exercised, not just the all-valid fast path.
+    from post_modern_stack_spark.functions.core import cosine_similarity
+
+    schema = "qv array<double>, cv array<double>"
+    edge = spark.createDataFrame(
+        [
+            ([1.0, 2.0], None),
+            (None, [1.0, 2.0]),
+            ([float("nan"), 1.0], [1.0, 2.0]),
+            ([3.0, 4.0], [3.0, 4.0]),
+            (None, None),
+        ],
+        schema,
+    )
+    both = edge.select(
+        similarity.rounded_pair_cosine("qv", "cv").alias("arrow_c"),
+        F.round(cosine_similarity("qv", "cv"), 6).alias("expr_c"),
+    ).collect()
+    import math
+
+    for r in both:
+        a, e = r["arrow_c"], r["expr_c"]
+        if e is None or a is None:
+            assert a is None and e is None, f"null divergence: {a} vs {e}"
+        elif math.isnan(e):
+            assert math.isnan(a), f"NaN divergence: {a} vs {e}"
+        else:
+            assert a == e, f"value divergence: {a} vs {e}"
+
 
 def test_ivf_recall_vs_brute_force(spark):
     """IVF with 4/16 probes must beat coarse-LSH recall on the same
@@ -301,6 +333,52 @@ def test_pq_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_auto_refine_beats_fixed_pool_on_clustered_corpus(spark):
+    """refine_factor="auto" (the r11 default) must size the rerank pool
+    past the biggest near-tie cluster — the r10-ladder footgun where a
+    fixed small pool silently returns ~pool/cluster recall. Planted: a
+    60-member near-identical cluster inside a 260-vector corpus; the
+    query sits IN the cluster, so its true top-5 are cluster siblings
+    ADC cannot rank. Fixed rf=3 (pool 15 < 60) must miss most of them;
+    auto must recover ≥0.8 — and a tiny max_auto_pool must warn."""
+    import random
+    import warnings
+
+    from post_modern_stack_spark.operators import similarity
+
+    rnd = random.Random(11)
+    dim = 16
+    center = [rnd.gauss(0, 1) for _ in range(dim)]
+    rows = [
+        (i, [float(x + rnd.gauss(0, 0.01)) for x in center]) for i in range(60)
+    ] + [
+        (100 + i, [float(rnd.gauss(0, 1)) for _ in range(dim)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        r["neighbor_id"]
+        for r in similarity.brute_force_top_k(emb, queries, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            r["neighbor_id"]
+            for r in similarity.pq_top_k(
+                emb, queries, k=5, m=4, n_codes=16, **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    assert recall(refine_factor=3) < 0.8  # the documented footgun
+    assert recall() >= 0.8  # default = auto sizes the pool past the cluster
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        recall(max_auto_pool=20)
+        assert any("max_auto_pool" in str(x.message) for x in w)
 
 
 def test_remove_duplicate_spans_planted(spark):
