@@ -76,8 +76,10 @@ def params_for(n: int) -> dict:
     # rerank pool size decides recall): measured at 100k, rf=3 ->
     # 0.31-0.34 recall at ANY codebook size, rf=10 -> 0.98-0.99; and
     # n_codes=256 + rf=10 was also the FASTEST config (24.0 s vs 73.3 s
-    # for n_codes=16 + rf=10).
-    pq = {"m": 8, "n_codes": 256, "refine_factor": 10}
+    # for n_codes=16 + rf=10). r11: refine_factor defaults to "auto"
+    # (pool sized from the max same-code group) — the ladder now rides
+    # the default so the rung measures what a default caller gets.
+    pq = {"m": 8, "n_codes": 256}
     if n <= 1_000_000:
         return {
             "ivf": {"n_centroids": 256, "n_probe": 8},
@@ -125,10 +127,10 @@ def main() -> None:
         F.array(*[F.lit(0.1)] * args.dim).alias("embedding"),
     )
     brute_force_top_k_arrow(warm, warm.limit(2), k=1).collect()
-    base = tempfile.mkdtemp(prefix="pmss-ann-")
+    workdir = tempfile.mkdtemp(prefix="pmss-ann-")
     try:
         for n in args.sizes:
-            path = f"{base}/vecs_{n}"
+            path = f"{workdir}/vecs_{n}"
             t0 = time.perf_counter()
             synthesize_vectors(spark, n, args.dim, path)
             print(
@@ -180,16 +182,18 @@ def main() -> None:
                 "pq": "pq_top_k",
             }
             if args.ab:
-                # same-window expression-scoring twins (the pre-r10
-                # candidate-ranking path) for the arrow-scoring A/B
-                variants["lsh_expr"] = lambda: rp_lsh_top_k(
-                    corpus, queries, k=args.k, dim=args.dim, score="expr", **p["lsh"]
+                # same-window Arrow-scoring twins: the defaults are
+                # score="expr" (the measured winner — see the
+                # rounded_pair_cosine docstring), so the A/B arm must
+                # flip to "arrow" to measure the transfer-bound path
+                variants["lsh_arrow"] = lambda: rp_lsh_top_k(
+                    corpus, queries, k=args.k, dim=args.dim, score="arrow", **p["lsh"]
                 )
-                variants["ivf_expr"] = lambda: ivf_top_k(
-                    corpus, queries, k=args.k, score="expr", **p["ivf"]
+                variants["ivf_arrow"] = lambda: ivf_top_k(
+                    corpus, queries, k=args.k, score="arrow", **p["ivf"]
                 )
-                names["lsh_expr"] = "rp_lsh_top_k[score=expr]"
-                names["ivf_expr"] = "ivf_top_k[score=expr]"
+                names["lsh_arrow"] = "rp_lsh_top_k[score=arrow]"
+                names["ivf_arrow"] = "ivf_top_k[score=arrow]"
             if n <= 1_000_000:
                 # PQ pool law: on a near-tie clustered corpus ADC cannot
                 # rank cluster siblings, so recall ~= min(1, pool/cluster)
@@ -214,8 +218,8 @@ def main() -> None:
                     recall = round(sum(recalls) / len(recalls), 4)
                 else:
                     recall = None
-                base = "pq" if key == "pq_pool" else key.split("_")[0]
-                pp = dict(p[base], refine_factor=1000) if key == "pq_pool" else p[base]
+                pkey = "pq" if key == "pq_pool" else key.split("_")[0]
+                pp = dict(p[pkey], refine_factor=1000) if key == "pq_pool" else p[pkey]
                 print(
                     json.dumps(
                         {"n": n, "variant": names[key], "sec": round(dt, 1),
@@ -224,7 +228,7 @@ def main() -> None:
                     flush=True,
                 )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
 
 
