@@ -545,16 +545,22 @@ def embedding_near_dups(
     )
 
     if candidates == "auto":
-        n = embeddings.count()
-        candidates = "exact" if n <= exact_max_rows else "lsh"
+        # Bounded existence probe (VERDICT r10 item 6): the router only
+        # needs to know WHETHER the corpus exceeds exact_max_rows, not
+        # its cardinality, so count a LIMIT exact_max_rows+1 subtree —
+        # CollectLimit stops scanning once the limit is hit, where a
+        # full count() at 100 TB is a whole-corpus scan before any work.
+        probe = embeddings.limit(exact_max_rows + 1).count()
+        candidates = "exact" if probe <= exact_max_rows else "lsh"
         if candidates == "lsh":
             import warnings
 
             warnings.warn(
-                f"embedding_near_dups: corpus has {n} rows > "
-                f"exact_max_rows={exact_max_rows}; auto-routing to LSH "
-                "candidates (recall < 1). Pass candidates='exact' and "
-                "more executor memory to force exhaustive output.",
+                f"embedding_near_dups: corpus exceeds "
+                f"exact_max_rows={exact_max_rows} (bounded probe); "
+                "auto-routing to LSH candidates (recall < 1). Pass "
+                "candidates='exact' and more executor memory to force "
+                "exhaustive output.",
                 stacklevel=2,
             )
 

@@ -100,6 +100,37 @@ def test_embedding_near_dups_exact_and_lsh_recall(spark):
     assert {(r.id_a, r.id_b) for r in routed.collect()} == lsh_pairs
 
 
+def test_embedding_near_dups_auto_probe_is_limit_bounded(spark, monkeypatch):
+    """The 'auto' router must decide via a LIMIT-bounded probe, never a
+    full-corpus count() (VERDICT r10 item 6: at 100 TB a routing count
+    is a whole-corpus scan before any work). Pin: the DataFrame the
+    router counts carries a GlobalLimit node."""
+    from post_modern_stack_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is a
+    # facade; methods live on pyspark.sql.classic.dataframe.DataFrame)
+    cls = type(emb)
+    counted_plans = []
+    orig_count = cls.count
+
+    def spy_count(self):
+        counted_plans.append(self._jdf.queryExecution().analyzed().toString())
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "count", spy_count)
+    embedding_near_dups(emb, threshold=0.95, candidates="auto", exact_max_rows=10)
+    probe_plans = [p for p in counted_plans if "GlobalLimit" in p]
+    assert probe_plans, "auto router ran a count() without a LIMIT bound"
+    assert all("GlobalLimit" in p for p in counted_plans), (
+        "auto router ran an unbounded corpus count(): "
+        + "\n---\n".join(p for p in counted_plans if "GlobalLimit" not in p)
+    )
+
+
 def test_corpus_broadcast_memo_is_session_scoped(spark):
     """The exact-GEMM corpus memo reuses one broadcast for repeated calls
     on the same logical corpus WITHIN a session, and its cache key carries
