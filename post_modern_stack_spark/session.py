@@ -18,6 +18,7 @@ Scale posture (100 TB / 1000-executor design, tested on local[32]):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -94,3 +95,41 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             # first one, and that raises loudly on its own if unset.
             pass
     return spark
+
+
+@contextmanager
+def elevated_shuffle_partitions(spark: SparkSession, n: int):
+    """Context manager: raise the session's shuffle-partition count —
+    BOTH ``spark.sql.shuffle.partitions`` and AQE's
+    ``initialPartitionNum`` (AQE can only coalesce DOWN from the
+    initial number, so a 32-partition default silently caps every
+    shuffle regardless of data size) — for the enclosed actions, then
+    restore the previous values.
+
+    This is the per-action partition hint (VERDICT r10 item 5):
+    operators whose shuffle GRAIN is corpus-exploded (positional
+    grams ~ tokens, not docs) size their aggregates from an estimated
+    grain row count instead of requiring the caller to pre-size the
+    session for the largest stage. Never LOWERS the setting: if the
+    session already runs wider, the hint is a no-op.
+    """
+    conf = spark.conf
+    init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        prev_init = conf.get(init_key)
+    except Exception:
+        prev_init = None
+    if n <= int(prev_parts):
+        yield
+        return
+    conf.set("spark.sql.shuffle.partitions", str(n))
+    conf.set(init_key, str(n))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_init is None:
+            conf.unset(init_key)
+        else:
+            conf.set(init_key, prev_init)

@@ -973,14 +973,42 @@ def main() -> None:
         for n in args.docs:
             path = f"{base}/docs_{n}"
             synthesize_docs(spark, n, path)
-            for name, build in probe_text_queries(spark, path).items():
-                if args.only and not re.search(args.only, name):
-                    continue
-                t0 = time.perf_counter()
-                build().write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 2)
-                print(json.dumps({"docs": n, "query": name, "sec": dt}), flush=True)
-                _release_checkpoints(spark)
+            # knob-free default (VERDICT r10 item 5): when no explicit
+            # --shuffle-partitions, size the shuffle width from the
+            # corpus's exploded-grain estimate — the same policy
+            # curate_documents now applies internally — so 10M+ doc
+            # ladders run without remembering the knob. An explicit
+            # knob still wins (get_spark already applied it).
+            from contextlib import nullcontext
+
+            from post_modern_stack_spark.operators.textstats import (
+                grain_partitions_hint,
+            )
+            from post_modern_stack_spark.session import (
+                elevated_shuffle_partitions,
+            )
+
+            if args.shuffle_partitions is None:
+                hint = grain_partitions_hint(spark.read.parquet(path))
+                ctx = elevated_shuffle_partitions(spark, hint)
+                print(
+                    json.dumps({"docs": n, "grain_partitions_hint": hint}),
+                    flush=True,
+                )
+            else:
+                ctx = nullcontext()
+            with ctx:
+                for name, build in probe_text_queries(spark, path).items():
+                    if args.only and not re.search(args.only, name):
+                        continue
+                    t0 = time.perf_counter()
+                    build().write.format("noop").mode("overwrite").save()
+                    dt = round(time.perf_counter() - t0, 2)
+                    print(
+                        json.dumps({"docs": n, "query": name, "sec": dt}),
+                        flush=True,
+                    )
+                    _release_checkpoints(spark)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()

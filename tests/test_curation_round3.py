@@ -1111,3 +1111,102 @@ def test_bpe_train_driver_and_distributed_paths_agree(spark):
     syms_drv = {r["w"]: list(r["syms"]) for r in v_drv.collect()}
     syms_dist = {r["w"]: list(r["syms"]) for r in v_dist.collect()}
     assert syms_drv == syms_dist
+
+
+def test_grain_partitions_hint_mapping(spark):
+    """grain_partitions_hint: chars→token-grain→partition arithmetic
+    (VERDICT r10 item 5). 60 docs × 100 chars = 6000 chars → 1000
+    token-grain → ceil(1000/300) = 4 at rows_per_partition=300; the
+    cap clamps; an empty corpus still returns ≥1."""
+    from post_modern_stack_spark.operators.textstats import (
+        grain_partitions_hint,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(60)], "doc_id long, text string"
+    )
+    assert grain_partitions_hint(docs, rows_per_partition=300) == 4
+    assert grain_partitions_hint(docs, rows_per_partition=300, cap=2) == 2
+    assert grain_partitions_hint(docs, rows_per_partition=10**9) == 1
+    empty = docs.filter("doc_id < 0")
+    assert grain_partitions_hint(empty) == 1
+
+
+def test_elevated_shuffle_partitions_scopes_and_restores(spark):
+    """session.elevated_shuffle_partitions must raise BOTH
+    spark.sql.shuffle.partitions and AQE's initialPartitionNum inside
+    the block (AQE only coalesces DOWN, so the initial number is the
+    real ceiling), restore both on exit — including exceptional exit —
+    and be a no-op when the session is already at least as wide."""
+    import pytest
+
+    from post_modern_stack_spark.session import elevated_shuffle_partitions
+
+    init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    with elevated_shuffle_partitions(spark, int(prev) + 100):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            int(prev) + 100
+        )
+        assert spark.conf.get(init_key) == str(int(prev) + 100)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # no-op when narrower than the session
+    with elevated_shuffle_partitions(spark, 1):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # restores on exception too
+    with pytest.raises(RuntimeError):
+        with elevated_shuffle_partitions(spark, int(prev) + 100):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_curate_documents_auto_partitions_parity_and_restore(spark, monkeypatch):
+    """curate_documents(auto_partitions=True, the default) must (a)
+    elevate the session's shuffle width when the grain hint exceeds it,
+    (b) return byte-identical stages to the manual-knob form, and (c)
+    leave the session confs exactly as it found them (the elevation is
+    call-scoped, not a leaked global)."""
+    from post_modern_stack_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"tok{i}n{j}" for j in range(12)),
+                "en",
+                f"src{i % 3}",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    bench_docs = docs.filter(F.col("doc_id") % 17 == 0)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: list[str] = []
+    # force a hint wider than the session so the elevation path runs
+    monkeypatch.setattr(
+        textstats, "grain_partitions_hint", lambda df, text_col="text": int(prev) + 32
+    )
+    orig = textstats.exact_keep_min
+
+    def spy_exact_keep_min(df, text_col="text"):
+        # runs INSIDE the funnel body — observe the elevated width
+        seen.append(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return orig(df, text_col)
+
+    monkeypatch.setattr(textstats, "exact_keep_min", spy_exact_keep_min)
+    auto = textstats.curate_documents(docs, bench_docs)["final"]
+    assert seen == [str(int(prev) + 32)]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    monkeypatch.setattr(textstats, "exact_keep_min", orig)
+    manual = textstats.curate_documents(docs, bench_docs, auto_partitions=False)[
+        "final"
+    ]
+    a = sorted(r["doc_id"] for r in auto.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in manual.select("doc_id").collect())
+    assert a == b and len(a) > 0
