@@ -300,11 +300,18 @@ def main() -> None:
 
     @pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
+        # touch the libraries the Python-band queries use so every
+        # reused worker has them imported BEFORE the timed region
+        # (a cold numpy import inside a worker is ~100 ms × 32 workers
+        # attributed to whichever media/codec query runs first)
+        import hashlib  # noqa: F401
+        import numpy  # noqa: F401
+
         return s
 
-    spark.range(32).select(_warm(col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    spark.range(32).repartition(32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
