@@ -463,14 +463,8 @@ _corpus_memo: "OrderedDict" = None  # initialized lazily below
 _CORPUS_MEMO_MAX = 4
 
 
-def _corpus_broadcast(embeddings: DataFrame, id_col: str, vec_col: str):
-    import numpy as np
-    from collections import OrderedDict
-
-    global _corpus_memo
-    if _corpus_memo is None:
-        _corpus_memo = OrderedDict()
-    key = (
+def _corpus_memo_key(embeddings: DataFrame, id_col: str, vec_col: str):
+    return (
         # applicationId is unique per SparkContext lifetime — unlike
         # id(session), it can't alias a new session after the old one is
         # garbage-collected.
@@ -479,6 +473,16 @@ def _corpus_broadcast(embeddings: DataFrame, id_col: str, vec_col: str):
         id_col,
         vec_col,
     )
+
+
+def _corpus_broadcast(embeddings: DataFrame, id_col: str, vec_col: str):
+    import numpy as np
+    from collections import OrderedDict
+
+    global _corpus_memo
+    if _corpus_memo is None:
+        _corpus_memo = OrderedDict()
+    key = _corpus_memo_key(embeddings, id_col, vec_col)
     bc = _corpus_memo.pop(key, None)
     if bc is None:
         b_rows = embeddings.select(id_col, vec_col).collect()
@@ -550,8 +554,18 @@ def embedding_near_dups(
         # its cardinality, so count a LIMIT exact_max_rows+1 subtree —
         # CollectLimit stops scanning once the limit is hit, where a
         # full count() at 100 TB is a whole-corpus scan before any work.
-        probe = embeddings.limit(exact_max_rows + 1).count()
-        candidates = "exact" if probe <= exact_max_rows else "lsh"
+        # And not even that if a corpus broadcast is already memoized
+        # for this logical corpus: only the exact path builds one, so a
+        # memo hit PROVES a prior routing decision said "small" — the
+        # repeated-call case (bench re-runs, a driver loop re-invoking
+        # the same dedup) skips the probe job entirely.
+        if _corpus_memo and _corpus_memo_key(
+            embeddings, id_col, vec_col
+        ) in _corpus_memo:
+            candidates = "exact"
+        else:
+            probe = embeddings.limit(exact_max_rows + 1).count()
+            candidates = "exact" if probe <= exact_max_rows else "lsh"
         if candidates == "lsh":
             import warnings
 

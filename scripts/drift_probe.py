@@ -24,6 +24,8 @@ import statistics
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SUSPECTS = [
@@ -66,8 +68,9 @@ def main() -> None:
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
-    # warm JVM + Python workers exactly like bench.py
-    import pandas as pd
+    # warm JVM + Python workers exactly like bench.py (pandas imported
+    # at module level: pandas_udf resolves the pd.Series hints in the
+    # function's GLOBAL namespace, so a main()-local import breaks it)
     from pyspark.sql.functions import col, pandas_udf
 
     qs[names[0]](spark, args.sf_dir).write.format("noop").mode("overwrite").save()

@@ -131,6 +131,38 @@ def test_embedding_near_dups_auto_probe_is_limit_bounded(spark, monkeypatch):
     )
 
 
+def test_embedding_near_dups_auto_skips_probe_on_memo_hit(spark, monkeypatch):
+    """Repeated auto calls on a corpus that already routed exact must
+    skip the probe job: the corpus-broadcast memo entry PROVES the
+    prior decision said "small" (only the exact path builds one), so
+    bench re-runs / driver loops pay zero routing jobs after call 1."""
+    from post_modern_stack_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    # call 1 routes exact (20 <= 50) and memoizes the corpus broadcast
+    embedding_near_dups(
+        emb, threshold=0.99, candidates="auto", exact_max_rows=50
+    ).collect()
+
+    cls = type(emb)
+    calls = []
+    orig_count = cls.count
+
+    def spy_count(self):
+        calls.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "count", spy_count)
+    out = embedding_near_dups(
+        emb, threshold=0.99, candidates="auto", exact_max_rows=50
+    )
+    assert calls == [], "memo-hit auto call still ran a probe count()"
+    assert out.count() > 0  # and it actually produced the exact pairs
+
+
 def test_corpus_broadcast_memo_is_session_scoped(spark):
     """The exact-GEMM corpus memo reuses one broadcast for repeated calls
     on the same logical corpus WITHIN a session, and its cache key carries
