@@ -656,7 +656,17 @@ def substring_share_and_trim(
     ``n_dup_grams = n_grams − #{c==1 keys owned}`` ≡ the count of
     dup-key positions (a c==1 key has exactly one position
     corpus-wide, owned by its holder; intra-doc repeats have c ≥ 2 and
-    every occurrence counts duplicated in both forms)."""
+    every occurrence counts duplicated in both forms).
+
+    Scratch-volume posture (r11 measurement, BASELINE.md round-16):
+    run as ONE action over an unpruned corpus, the whole positional-
+    gram exchange lives on local disk until job end — measured
+    ~7.2 GB per M docs of the synthetic ladder corpus, which bounds a
+    single 79 GB-scratch box at ~10M docs regardless of partition
+    count. At 100 TB, run this pass behind pruning gates and stage
+    checkpoints (the ``curate_documents`` funnel shape — same fused
+    resolution, 12× less peak scratch at 10M) or size per-node
+    scratch to corpus × 7.2 GB/M ÷ nodes."""
     out = _span_trim_frame(
         df, text_col, n, id_col, hashed_keys, per_key, with_share=True
     )
