@@ -62,11 +62,14 @@ def test_summarize_approx_mode(spark):
     assert "Expand" not in plan
 
 
-def test_summarize_is_single_scan(spark):
-    """All columns profile in ONE aggregate over ONE scan: the plan
-    holds exactly one parquet/LocalTableScan-free aggregate chain with
-    an Expand (the multi-countDistinct rewrite), never one scan per
-    column."""
+def test_summarize_scan_and_operator_shape(spark):
+    """Exact mode profiles all columns in exactly TWO aggregate passes
+    (r11: one Expand+HashAggregate pass for every countDistinct, one
+    streaming keys=[] pass for nulls/min/max — the single combined agg
+    forced SortAggregate over the sorted Expand fan-out because
+    var-length min/max buffers are not hash-aggregable), never one
+    scan per column. The distinct side must stay a HashAggregate and
+    the plan must hold no Sort node at all."""
     df = spark.range(1000).select(
         F.col("id").alias("a"),
         (F.col("id") % 7).alias("b"),
@@ -74,4 +77,7 @@ def test_summarize_is_single_scan(spark):
     )
     plan = summarize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 1
-    assert plan.count("Range (") == 1  # the single source scan
+    assert plan.count("Range (") == 2  # two passes, not per-column
+    # the Expand (distinct) side hash-aggregates; nothing sorts
+    assert "HashAggregate" in plan
+    assert "Sort " not in plan
