@@ -147,22 +147,32 @@ def minhash_signatures(
             % F.lit(MINHASH_P)
         )
         sh = sh.select(F.col(id_col), x.alias("x"))
+        # SQL-string expressions, one parse each (r11: the per-seed
+        # Column-method chains cost ~0.5 s of py4j round trips per
+        # call — pure driver time; values are identical, the string
+        # form builds the same literal*x+literal % literal tree)
         hash_cols = [
-            F.min(
-                (F.lit(_minhash_affine(s)[0]) * F.col("x")
-                 + F.lit(_minhash_affine(s)[1])) % F.lit(MINHASH_P)
-            ).alias(f"h{s}")
+            F.expr(
+                "min(({a} * x + {b}) % {p}) AS h{s}".format(
+                    a=_minhash_affine(s)[0],
+                    b=_minhash_affine(s)[1],
+                    p=MINHASH_P,
+                    s=s,
+                )
+            )
             for s in range(num_hashes)
         ]
     else:
         hash_cols = [
-            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            F.expr(f"min(xxhash64({s}, shingle)) AS h{s}")
             for s in range(num_hashes)
         ]
     agg = sh.groupBy(id_col).agg(*hash_cols)
     return agg.select(
         F.col(id_col),
-        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(%s)" % ",".join(f"h{s}" for s in range(num_hashes))
+        ).alias("sig"),
     )
 
 
@@ -380,23 +390,33 @@ def simhash_signatures(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).select(F.col(id_col), h_expr.alias("h"))
+    # expressions built as SQL strings, ONE catalyst parse each, not
+    # per-bit Column-method chains (r11 optimization round: the old
+    # form issued ~600 py4j round trips — 64×(shiftright→&→==→when→
+    # otherwise→sum) plus a 64-step bitwiseOR fold — costing ~1.2 s of
+    # DRIVER time per call at any data size; profiler build_ms 1 414 →
+    # ~250 after. CASE WHEN here is the same Catalyst tree F.when
+    # built, so signatures are bit-identical).
     votes = tok_hashes.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN ((shiftright(h, {i}) & 1) = 1) "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(bits)
         ]
     )
-    sig = F.lit(0).cast("long")
+    terms = []
     for i in range(bits):
-        mask = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, mask).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select(F.col(id_col), sig.alias("sig"))
+        if i < 63:
+            mask = f"CAST({1 << i} AS BIGINT)"
+        else:
+            # Long.MIN_VALUE has no negative bigint literal form the
+            # parser accepts in one token; shift constructs it exactly
+            mask = "shiftleft(CAST(1 AS BIGINT), 63)"
+        terms.append(f"(CASE WHEN v{i} > 0 THEN {mask} ELSE CAST(0 AS BIGINT) END)")
+    sig_sql = " | ".join(terms)
+    return votes.select(F.col(id_col), F.expr(sig_sql).alias("sig"))
 
 
 def simhash_near_dups(
