@@ -20,6 +20,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_narrow_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Guide §2.5 "input skew: one huge unsplittable file" remedy as a
+    conditional operator (r11 optimization round): round-robin
+    repartition a SCAN-stage frame to the session's default parallelism
+    when the source yields fewer partitions than
+    ``min_fraction × defaultParallelism``.
+
+    Why: parquet assigns one task per row group — the bench corpus
+    ships each table as a single-row-group file, so every per-row-heavy
+    pass (JSON parse, exact percentile buffers, n-gram explode) runs on
+    ONE core while 31 idle. The same shape appears in production with
+    gzip inputs, single-row-group writers, or small dimension tables
+    feeding heavy per-row transforms. At real scale the file splits
+    already provide the parallelism, the probe sees a wide scan, and
+    this is a no-op — the extra exchange is never paid where it would
+    be pure cost.
+
+    Call ONLY on shuffle-free frames (scan + projection/filter): the
+    partition probe walks the physical RDD, which would materialize
+    AQE shuffle stages (real jobs) if an exchange were upstream.
+    Results are unchanged for any downstream aggregate/join: the
+    round-robin split is deterministic (sort-before-repartition,
+    SPARK-23207) and every catalog consumer aggregates
+    order-insensitively.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, buckets: int = 16, salt_col: str = "_salt") -> DataFrame:
     """Uniform salt independent of row CONTENT: byte-identical rows
     (repeated heartbeats on a hot key) must still spread over buckets —

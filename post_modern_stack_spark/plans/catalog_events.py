@@ -404,7 +404,17 @@ def q_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``percentile``, the sort-based exact form — ``percentile_approx``
     is the 100 TB path, see approx_sketches), sample stddev, Pearson
     correlation. One hash-agg pass."""
-    ev = load_table(spark, sf_dir, "events")
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    # single-row-group input caps the scan at 1 task while the per-row
+    # work here (JSON parse + exact-percentile buffer insert) is the
+    # whole query cost — widen conditionally (no-op on wide scans;
+    # guide §2.5, r11 measurement in OPTIMIZATION_r11.md)
+    ev = widen_narrow_scan(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "value", "props"
+        )
+    )
     k = json_get("props", "k", "long")
     # both percentiles from ONE array-argument call: the sort buffer per
     # group is built once, not once per quantile

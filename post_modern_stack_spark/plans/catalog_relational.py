@@ -1600,10 +1600,15 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey over 8 reducers while replicating the orders projection
     8×; the follow-on agg is salted-safe because sum/count are
     algebraic."""
-    from post_modern_stack_spark.operators.skew import salted_join
+    from post_modern_stack_spark.operators.skew import salted_join, widen_narrow_scan
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # salt + probe + partial agg all live in the scan stage; widen the
+    # single-row-group fact scan so they parallelize (no-op on wide
+    # scans; guide §2.5)
+    li = widen_narrow_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"

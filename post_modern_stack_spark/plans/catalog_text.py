@@ -265,7 +265,15 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole train-then-score pipeline restated in SQL; per-(doc, lang)
     scores round to 6dp before the argmax on BOTH sides so the winner
     is total-ordered (score, lang) in each engine."""
-    d = load_table(spark, sf_dir, "documents")
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    # a single-row-group corpus file pins BOTH the training trigram
+    # explode and the Arrow scoring pass (a per-char Python loop) to
+    # one task/worker — widen conditionally so all workers score
+    # (no-op on wide scans; guide §2.5, r11)
+    d = widen_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
     profiles = textstats.ngram_language_profiles(d.filter(F.col("doc_id") % 10 == 0))
     # arrow strategy: profile dict rides in the UDF closure — measured
     # ~2× over the gram-explode broadcast join at sf0.1 (the join path
@@ -789,8 +797,15 @@ def q_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain — also the grain of `span_dedup_trim`'s removal). Oracle
     keys grams by string; engine keys the single gram-grain exchange
     by xxhash64 (collision-negligible)."""
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    # widen the single-row-group corpus scan: the positional gram
+    # build (split+explode+hash) otherwise runs in ONE scan task
+    # (no-op on wide scans; guide §2.5, r11)
     return textstats.substring_dup_share(
-        load_table(spark, sf_dir, "documents"), n=8, hashed_keys=True
+        widen_narrow_scan(load_table(spark, sf_dir, "documents")),
+        n=8,
+        hashed_keys=True,
     )
 
 
@@ -836,8 +851,12 @@ def q_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-key grain, a duplicated-keys-only position join, and an
     Arrow-batched span-mask trim; the oracle replays positions,
     coverage, and the trimmed string byte-for-byte."""
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    # widened scan: the positional gram build is scan-stage work
+    # (no-op on wide scans; guide §2.5, r11)
     return textstats.remove_duplicate_spans(
-        load_table(spark, sf_dir, "documents"), n=8
+        widen_narrow_scan(load_table(spark, sf_dir, "documents")), n=8
     )
 
 
@@ -899,8 +918,12 @@ def q_share_and_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, coverage, the trimmed string byte-for-byte, and the
     share arithmetic (NULL share for docs too short to hold an
     8-gram)."""
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    # widened scan: the positional gram build is scan-stage work
+    # (no-op on wide scans; guide §2.5, r11)
     return textstats.substring_share_and_trim(
-        load_table(spark, sf_dir, "documents"), n=8
+        widen_narrow_scan(load_table(spark, sf_dir, "documents")), n=8
     )
 
 
@@ -2026,21 +2049,29 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, emit per-doc probability + decision. All training steps are
     DataFrame aggregations (inference.train_logreg) — model state on
     the driver is one 256-float vector; the corpus never leaves the
-    executors. Features are localCheckpoint-ed once so the two
-    featurizer shuffles run once, shared by train-side packing and
-    final scoring (train_logreg packs + checkpoints its own
-    (id, y, fx) grain internally; each GD
-    iteration is one job with one 257-key shuffle)."""
+    executors. r11 shape: the corpus is featurized ONCE into the
+    packed (id, y, fx) grain (inference.packed_text_features — fused
+    featurize+pack, two keyed exchanges, no window pass), checkpointed
+    once, and BOTH the GD loop and the final scoring read it — scoring
+    is the in-array sparse dot product (score_logreg_packed), so it
+    adds no shuffle and no labels re-join. Each GD iteration remains
+    one job with one 257-key map-side-combined shuffle. The widened
+    scan (guide §2.5) parallelizes the explode+md5 featurizer, which a
+    single-row-group corpus file otherwise pins to one task."""
     from post_modern_stack_spark.operators import inference
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
 
-    docs = load_table(spark, sf_dir, "documents")
-    feats = inference.hashed_text_features(docs).localCheckpoint()
+    docs = widen_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )
-    w, b = inference.train_logreg(feats, labels, n_iter=8, lr=5.0)
-    scored = inference.score_logreg(feats, w, b)
-    return scored.join(labels, "doc_id").select(
+    packed = inference.packed_text_features(docs, labels).localCheckpoint()
+    w, b = inference.train_logreg(
+        None, None, n_iter=8, lr=5.0, packed=packed
+    )
+    return inference.score_logreg_packed(packed, w, b).select(
         "doc_id",
         F.col("y").cast("int").alias("label"),
         F.round("p", 4).alias("p_en"),

@@ -439,3 +439,24 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert "AQEShuffleRead" in final_plan and "coalesced" in final_plan, (
         final_plan[:1500]
     )
+
+
+def test_widen_narrow_scan_conditional(spark, tmp_path):
+    """r11 widen_narrow_scan: a narrow (single-row-group) scan is
+    round-robin repartitioned to defaultParallelism; an already-wide
+    frame is returned untouched (identity object, no added exchange) —
+    the production-scale no-op guarantee."""
+    from post_modern_stack_spark.operators.skew import widen_narrow_scan
+
+    p = str(tmp_path / "one_group.parquet")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = widen_narrow_scan(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    # values unchanged
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(max(2, target))
+    assert widen_narrow_scan(wide) is wide
