@@ -114,6 +114,107 @@ def hashed_text_features(
     return counts.select(id_col, "bucket", (F.col("c") / n).alias("x"))
 
 
+def packed_text_features(
+    df: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+) -> DataFrame:
+    """Fused featurize+pack (r11 optimization round): the
+    ``(id, y, fx: array<struct<bucket,x>>)`` grain ``train_logreg``
+    iterates over, built in TWO keyed exchanges instead of the four the
+    ``hashed_text_features``→checkpoint→pack route paid:
+
+      explode(tokens) → groupBy(id, bucket) count          (exchange 1)
+      → groupBy(id) collect_list + sum(c)                  (exchange 2)
+      → x = c / Σc folded INSIDE the packed array (transform), so the
+        per-doc L1 normalization needs no window pass at all
+      → right-join labels (broadcast-eligible).
+
+    Values are identical to the unfused route: Σc is an exact long sum,
+    x = c/Σc the same float division, and the array order is
+    collect_list order in both forms. The caller localCheckpoints (the
+    trainer re-reads this per iteration) and scores with
+    ``score_logreg_packed`` — the corpus is featurized exactly once.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_features),
+    )
+    counts = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    packed = (
+        counts.groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("bucket", "c")).alias("fc"),
+            F.sum("c").alias("n"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                "fc",
+                lambda s: F.struct(
+                    s["bucket"].alias("bucket"),
+                    (s["c"] / F.col("n")).alias("x"),
+                ),
+            ).alias("fx"),
+        )
+        .join(labels, id_col, "right")
+        .select(
+            id_col,
+            "y",
+            F.coalesce(
+                "fx", F.array().cast("array<struct<bucket:long,x:double>>")
+            ).alias("fx"),
+        )
+    )
+    return packed
+
+
+def _weights_array_sql(weights) -> str:
+    """SQL literal array for a weight vector — one catalyst parse
+    instead of ``n_features`` py4j ``F.lit`` round trips per GD
+    iteration. ``repr(float)`` emits the shortest round-tripping
+    decimal and Java's ``Double.parseDouble`` is correctly rounded, so
+    the parsed literals are bit-identical to the ``F.lit`` route."""
+    import numpy as np
+
+    vals = ",".join(
+        f"CAST({float(v)!r} AS DOUBLE)" for v in np.asarray(weights)
+    )
+    return f"array({vals})"
+
+
+def margin_expr_packed(weights) -> F.Column:
+    """Sparse-dot-product margin over the packed ``fx`` column as ONE
+    parsed expression: aggregate(fx, 0.0, (acc, s) -> acc + s.x *
+    element_at(warr, s.bucket + 1))."""
+    return F.expr(
+        "aggregate(fx, CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.x * "
+        f"element_at({_weights_array_sql(weights)}, "
+        "CAST(s.bucket AS INT) + 1))"
+    )
+
+
+def score_logreg_packed(
+    packed: DataFrame, weights, bias: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Scoring over the packed grain: sigmoid of the in-array sparse
+    dot product — NO shuffle at all (contrast ``score_logreg``, which
+    re-aggregates the (id, bucket, x) triples per doc). Emits
+    (id, y, p) so the caller needs no labels re-join."""
+    return packed.select(
+        id_col,
+        "y",
+        (
+            1.0 / (1.0 + F.exp(-(margin_expr_packed(weights) + float(bias))))
+        ).alias("p"),
+    )
+
+
 def train_logreg(
     feats: DataFrame,
     labels: DataFrame,
@@ -121,6 +222,7 @@ def train_logreg(
     n_iter: int = 30,
     lr: float = 2.0,
     id_col: str = "doc_id",
+    packed: DataFrame | None = None,
 ):
     """[EXT] model-based quality filtering, training half: logistic
     regression by full-batch gradient descent where EVERY data-touching
@@ -156,32 +258,34 @@ def train_logreg(
     # Pack ONCE: (id, y, fx) — the doc-grain shuffle and the labels
     # join leave the loop entirely. Docs with no surviving features
     # get an empty array (margin 0, bias-only gradient), matching a
-    # left-join + na.fill(0) on the unpacked form.
-    packed = (
-        feats.groupBy(id_col)
-        .agg(F.collect_list(F.struct("bucket", "x")).alias("fx"))
-        .join(labels, id_col, "right")
-        .select(
-            id_col,
-            "y",
-            F.coalesce(
-                "fx", F.array().cast("array<struct<bucket:long,x:double>>")
-            ).alias("fx"),
+    # left-join + na.fill(0) on the unpacked form. A caller that
+    # already holds the packed grain (``packed_text_features`` +
+    # its own checkpoint) passes it via ``packed`` and skips this
+    # pack + checkpoint entirely (r11).
+    if packed is None:
+        packed = (
+            feats.groupBy(id_col)
+            .agg(F.collect_list(F.struct("bucket", "x")).alias("fx"))
+            .join(labels, id_col, "right")
+            .select(
+                id_col,
+                "y",
+                F.coalesce(
+                    "fx", F.array().cast("array<struct<bucket:long,x:double>>")
+                ).alias("fx"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
     n_docs = packed.count()  # also materializes the checkpoint
 
     w = np.zeros(n_features)
     b = 0.0
     for _ in range(n_iter):
-        warr = F.array(*[F.lit(float(v)) for v in w])
-        margin = F.aggregate(
-            "fx",
-            F.lit(0.0),
-            lambda acc, s: acc
-            + s["x"] * F.element_at(warr, s["bucket"].cast("int") + 1),
-        )
+        # one parsed expression per iteration (r11): the n_features
+        # F.lit calls + lambda chain cost ~0.3 s of py4j driver time
+        # per iteration at ANY data size; the parsed literal array is
+        # bit-identical (see _weights_array_sql)
+        margin = margin_expr_packed(w)
         resid = packed.select(
             "fx",
             (1.0 / (1.0 + F.exp(-(margin + b))) - F.col("y")).alias("r"),

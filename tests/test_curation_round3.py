@@ -1189,7 +1189,10 @@ def test_curate_documents_auto_partitions_parity_and_restore(spark, monkeypatch)
     seen: list[str] = []
     # force a hint wider than the session so the elevation path runs
     monkeypatch.setattr(
-        textstats, "grain_partitions_hint", lambda df, text_col="text": int(prev) + 32
+        textstats,
+        "grain_partitions_hint",
+        # accept the r11 stats_gate kwarg the funnel now passes
+        lambda df, text_col="text", **kw: int(prev) + 32,
     )
     orig = textstats.exact_keep_min
 
@@ -1210,3 +1213,92 @@ def test_curate_documents_auto_partitions_parity_and_restore(spark, monkeypatch)
     a = sorted(r["doc_id"] for r in auto.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in manual.select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_grain_partitions_hint_stats_gate(spark, tmp_path, monkeypatch):
+    """r11 stats gate: when catalog statistics already bound the hint
+    at/below the session's shuffle width, grain_partitions_hint must
+    return WITHOUT running the sum(length) scan (no job) — proven by
+    making the scan path raise. A corpus whose stats bound exceeds the
+    width must still take the exact scan."""
+    from post_modern_stack_spark.operators.textstats import (
+        grain_partitions_hint,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(200)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+
+    # poison the scan route: the gate must short-circuit before agg
+    import post_modern_stack_spark.operators.textstats as ts
+
+    real_agg = type(docs).agg
+
+    def boom(self, *a, **k):
+        raise AssertionError("stats gate did not short-circuit")
+
+    monkeypatch.setattr(type(docs), "agg", boom)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hint = grain_partitions_hint(docs, stats_gate=True)
+    assert 1 <= hint <= cur
+    monkeypatch.setattr(type(docs), "agg", real_agg)
+
+    # tiny rows_per_partition inflates the stats bound past the session
+    # width -> exact-scan route runs and returns the calibrated value
+    exact = grain_partitions_hint(
+        docs, rows_per_partition=10, stats_gate=True
+    )
+    assert exact == grain_partitions_hint(docs, rows_per_partition=10)
+
+
+def test_packed_text_features_matches_unfused_route(spark):
+    """r11 fused featurize+pack: packed_text_features must hold the
+    same (bucket, x) multiset per doc and the same labels as the
+    hashed_text_features -> groupBy(id).collect_list -> join route,
+    and score_logreg_packed must match score_logreg to float noise."""
+    from post_modern_stack_spark.operators import inference
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j % 17}" for j in range(3 + i % 9)), 
+             "en" if i % 3 else "fr")
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    feats = inference.hashed_text_features(docs)
+    old_packed = (
+        feats.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("bucket", "x")).alias("fx"))
+        .join(labels, "doc_id", "right")
+        .select(
+            "doc_id",
+            "y",
+            F.coalesce(
+                "fx", F.array().cast("array<struct<bucket:long,x:double>>")
+            ).alias("fx"),
+        )
+    )
+    new_packed = inference.packed_text_features(docs, labels)
+
+    def norm(df):
+        return {
+            r["doc_id"]: (r["y"], sorted((s["bucket"], round(s["x"], 12)) for s in r["fx"]))
+            for r in df.collect()
+        }
+
+    assert norm(old_packed) == norm(new_packed)
+
+    w, b = inference.train_logreg(feats, labels, n_iter=3, lr=2.0)
+    old_p = {r["doc_id"]: r["p"] for r in inference.score_logreg(feats, w, b).collect()}
+    new_p = {
+        r["doc_id"]: r["p"]
+        for r in inference.score_logreg_packed(new_packed, w, b).collect()
+    }
+    assert set(old_p) == set(new_p)
+    assert all(abs(old_p[k] - new_p[k]) < 1e-9 for k in old_p)
