@@ -970,6 +970,7 @@ def grain_partitions_hint(
     chars_per_token: int = 6,
     rows_per_partition: int = 2_000_000,
     cap: int = 4096,
+    stats_gate: bool = False,
 ) -> int:
     """Shuffle-partition count sized to the EXPLODED token/gram grain
     of a text corpus (VERDICT r10 item 5 — partitions must track the
@@ -984,7 +985,41 @@ def grain_partitions_hint(
     calibrated from the measured ladder knobs: 10M docs ran clean at
     p=256 (≈2.1M grams/partition) and 30M at p=768 (same grain/task).
     Returns at least 1; callers take max(current, hint).
+
+    ``stats_gate=True`` (r11, the ``curate_documents`` route): before
+    paying the scan, bound the hint from CATALOG STATISTICS —
+    ``optimizedPlan().stats().sizeInBytes`` is the (compressed) input
+    size known from parquet footers, no job. Text compresses ≤~4×, so
+    ``bytes × 4`` upper-bounds chars; if even that inflated bound
+    keeps the hint at or under the session's current shuffle width,
+    elevation is provably a no-op and the scan job is skipped (the
+    common small-corpus case — and at 100 TB the gate is what makes
+    the hint FREE for already-wide sessions, instead of a full
+    text-column read before any work). Corpora whose stats bound
+    exceeds the current width still pay the one exact scan, keeping
+    the measured 10M/30M-doc calibration (p=240@10M) unchanged.
     """
+    if stats_gate:
+        est_bytes = None
+        try:
+            est_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            pass
+        # 1<<60 ≈ the 'unknown size' sentinel region (defaultSizeInBytes
+        # = Long.MaxValue); treat anything near it as no-statistics
+        if est_bytes is not None and 0 <= est_bytes < (1 << 60):
+            grain_ub = (est_bytes * 4) // chars_per_token
+            hint_ub = int(min(cap, max(1, -(-grain_ub // rows_per_partition))))
+            try:
+                current = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except Exception:
+                current = 0
+            if hint_ub <= current:
+                return hint_ub
     total_chars = df.agg(F.sum(F.length(F.col(text_col)))).first()[0] or 0
     grain = total_chars // chars_per_token
     return int(min(cap, max(1, -(-grain // rows_per_partition))))
@@ -1060,7 +1095,7 @@ def curate_documents(
         )
 
         spark = df.sparkSession
-        hint = grain_partitions_hint(df, text_col)
+        hint = grain_partitions_hint(df, text_col, stats_gate=True)
         if hint > int(spark.conf.get("spark.sql.shuffle.partitions")):
             with elevated_shuffle_partitions(spark, hint):
                 return curate_documents(
