@@ -2102,11 +2102,23 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket count is a 1-row broadcast — nothing after the basket
     shuffle is fact-sized."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
-    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # ONE fact-grain exchange (r11, guide §2.4 "share one exchange"):
+    # the old shape shuffled lineitem twice (items.distinct + the
+    # basket collect_set) and paid a countDistinct Expand for the
+    # basket count. Every aggregate below derives from the SAME
+    # baskets frame, so ReuseExchange materializes the lineitem
+    # shuffle once: n_orders = count of basket rows (each distinct
+    # order is one row), item_supp = explode of the deduped basket
+    # arrays (collect_set already deduped (order, part)). Values are
+    # identical; the oracle is untouched.
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item_supp = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     pairs = baskets.select(
         F.explode(
