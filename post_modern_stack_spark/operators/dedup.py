@@ -323,7 +323,9 @@ def cluster_pairs(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -332,25 +334,39 @@ def cluster_pairs(
         # localCheckpoint truncates the per-iteration lineage:
         # without it every round re-plans (and re-runs) all prior
         # rounds — plan compilation alone goes super-linear.
+        #
+        # Convergence detection rides the SAME materialization as an
+        # observe() metric (r11 optimization round): the old form ran
+        # a separate new⋈old join + limit+count ACTION per iteration —
+        # one extra job AND a node-grain shuffle join per round at any
+        # scale. The propagated label is monotone non-increasing, so
+        # "any label strictly below its previous value" is exactly the
+        # old inequality check, computable row-by-row during the
+        # checkpoint write for free.
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("label") != F.col("__old")).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("n_changed"),
+            )
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     else:
         # returning unconverged labels would silently split components

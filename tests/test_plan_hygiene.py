@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     "curation_funnel", "curation_funnel_spans", "bm25_scores",
     "dsir_weights",
     "temperature_sample", "rrf_hybrid_rank", "training_manifest",
+    # table_profile: r11 two-pass summarize crossJoins two 1-row aggs
+    "table_profile",
     "ks_statistic", "item_pagerank", "pq_top_k", "hit_rate_popularity",
     "negative_samples", "part_value_share", "rich_idle_customers",
     "bigram_perplexity", "benford_check", "lsh_recall_report",

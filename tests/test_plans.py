@@ -174,7 +174,17 @@ def test_substring_dup_share_single_gram_exchange(spark):
     import re
 
     plan = plan_of(spark, "substring_dup_share")
-    assert _exchange_count(plan) == 2, plan
+    # r11: the conditional widen_narrow_scan prepends a ROUND-ROBIN
+    # input exchange (statically duplicated into both consumers,
+    # runtime-deduped by ReuseExchange) — the invariant this test
+    # protects is about KEYED shuffles of the gram set, so count only
+    # hash-partitioned exchanges
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 2, plan
     gen_nodes = [
         l
         for l in plan.splitlines()
