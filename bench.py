@@ -307,6 +307,19 @@ def main() -> None:
         import hashlib  # noqa: F401
         import numpy  # noqa: F401
 
+        # r11: the codec/ANN closures resolve the PACKAGE modules by
+        # reference on the worker — their first unpickle imports
+        # operators.multimodal/jpeg/similarity (plus zlib for PNG),
+        # which the numpy-only warm-up left cold and the sweep then
+        # charged to whichever media query ran first
+        import zlib  # noqa: F401
+
+        from post_modern_stack_spark.operators import (  # noqa: F401
+            jpeg,
+            multimodal,
+            similarity,
+        )
+
         return s
 
     spark.range(32).repartition(32).select(_warm(col("id"))).write.format(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from post_modern_stack_spark.operators import multimodal
 from post_modern_stack_spark.plans.entryflow import query
 from post_modern_stack_spark.registry import load_table
+from post_modern_stack_spark.operators.skew import widen_narrow_scan
 
 
 def _as_media(docs: DataFrame) -> DataFrame:
@@ -413,13 +414,14 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media,
     )
 
-    docs = (
+    # the 2000 survivors sit in 1-2 parquet splits; the per-image
+    # Python coder is the cost, so spread rows across all cores
+    # (r11: conditional helper instead of a hard-coded repartition(32)
+    # — same effect locally, a no-op on already-wide scans)
+    docs = widen_narrow_scan(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 2000)
-        # the 2000 survivors sit in 1-2 parquet splits; the per-image
-        # Python coder is the cost, so spread rows across all cores
-        .repartition(32)
     )
 
     def to_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
