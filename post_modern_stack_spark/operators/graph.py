@@ -26,7 +26,7 @@ def pagerank(
     iters: int = 8,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_interval: int = 3,
+    checkpoint_interval: int = 2,
     broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over an edge list; returns (node, rank), Σrank = 1.
@@ -45,7 +45,13 @@ def pagerank(
       anti-join shuffle (measured ~25%% of iteration time at sf0.1);
     - lineage is truncated only every ``checkpoint_interval``
       iterations — each checkpoint is a real materialization job, so
-      checkpointing every iteration paid ~8 jobs where ~3 suffice;
+      checkpointing every iteration paid ~8 jobs where a few suffice.
+      Interval 2 (r11 interleaved A/B at sf0.1, values bit-identical
+      at any interval): medians 3.0–3.5 s vs 3.4–4.1 s at interval 3 —
+      between checkpoints each iteration's plan references the
+      previous ranks frame twice (dangling-mass agg + the broadcast
+      side), so deeper un-truncated chains re-execute more of the
+      rank lineage than the saved checkpoint job costs;
     - ``broadcast_ranks=True`` broadcasts the node-grain rank frame
       into the edge join, so the edge-grain side is never shuffled per
       iteration. Right when the node set is bounded (item/user
