@@ -47,6 +47,7 @@ def encode(
     vocab: DataFrame,
     arr_col: str = "interactions",
     out_col: str = "encoded",
+    pairs=None,
 ) -> DataFrame:
     """F2: token arrays → id arrays, OOV → UNK_ID.
 
@@ -55,8 +56,14 @@ def encode(
     zero shuffles on the (huge) session side, vs the join-explode
     alternative which would shuffle the corpus. Vocab sizes beyond
     driver memory should switch to a broadcast join on exploded tokens.
+
+    ``pairs`` (r11): a caller that already collected the vocab rows
+    (e.g. to size the model's class count) passes them here and skips
+    this function's own collect — one vocab-plan execution instead of
+    two (the vocab plan re-runs its explode+agg+window per action).
     """
-    pairs = vocab.select("token", "token_id").collect()
+    if pairs is None:
+        pairs = vocab.select("token", "token_id").collect()
     mapping = F.create_map(
         *[F.lit(x) for row in pairs for x in (row["token"], row["token_id"])]
     )

@@ -481,17 +481,27 @@ def q_predict_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = driver_session_events(load_table(spark, sf_dir, "events")).localCheckpoint()
     shaped = shaping.xy_pairs(sess, "interactions")
     vb = vocab.build_vocab(shaped, "x")
+    # ONE vocab-plan execution (r11): the old shape executed the vocab
+    # aggregate three times — encode's internal collect, the broadcast
+    # y-join subtree, and a separate vb.count() action. Collect once;
+    # the y lookup becomes the same map-literal expression encode uses
+    # (identical semantics: missing key → NULL → UNK), and n_classes
+    # is the collected row count.
+    vb_rows = vb.select("token", "token_id").collect()
+    y_map = F.create_map(
+        *[F.lit(x) for r in vb_rows for x in (r["token"], r["token_id"])]
+    )
     enc = (
-        vocab.encode(shaped, vb, "x", "x_enc")
-        .join(
-            F.broadcast(vb.select(F.col("token").alias("y"), "token_id")),
-            "y",
-            "left",
+        vocab.encode(shaped, vb, "x", "x_enc", pairs=vb_rows)
+        .withColumn(
+            "y_enc",
+            F.coalesce(
+                F.element_at(y_map, F.col("y")), F.lit(vocab.UNK_ID)
+            ).cast("int"),
         )
-        .withColumn("y_enc", F.coalesce("token_id", F.lit(vocab.UNK_ID)).cast("int"))
         .withColumn("x_padded", pad_sequence("x_enc", 20, 0))
     )
-    n_classes = vb.count() + 2  # ids 1..vocab+1
+    n_classes = len(vb_rows) + 2  # ids 1..vocab+1
     pred = inference.batched_top_k_predict(
         enc, inference.rank_popularity_model(n_classes), k=10
     )
