@@ -1037,6 +1037,7 @@ def curate_documents(
     span_trim: bool = False,
     checkpoint_gram_keys: bool | None = None,
     auto_partitions: bool = True,
+    observations: dict | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end training-corpus curation — the five-stage pipeline
     every LLM data run executes, composed from this module's operators
@@ -1088,6 +1089,20 @@ def curate_documents(
     scoped to this call (session.elevated_shuffle_partitions restores
     on exit) and never LOWERS a wider session; results are identical
     either way (partition count is not visible in any stage's values).
+
+    ``observations`` (r11, the funnel-count route): optional mapping of
+    stage name (``quality``/``deduped``/``near``/``trimmed``/``clean``)
+    to a :class:`pyspark.sql.Observation`. Each named stage gets a
+    row-count metric (``n`` = count(1)) attached to the plan that the
+    stage's OWN localCheckpoint materializes — ``quality`` rides the
+    ``deduped`` checkpoint, since quality itself is recompute-cheap and
+    never checkpointed — so by the time this function returns,
+    ``obs.get["n"]`` holds every stage's survivor count WITHOUT any
+    extra action: the funnel queries used to re-scan each checkpointed
+    stage (one count job per stage) and re-run the quality filter just
+    to count it. Same design as cluster_pairs' convergence observe. At
+    100 TB the saved work is a full recompute of the quality stage
+    (scan + tokenize) plus one scan job per materialized stage.
     """
     if auto_partitions:
         from post_modern_stack_spark.session import (
@@ -1110,15 +1125,29 @@ def curate_documents(
                     span_trim,
                     checkpoint_gram_keys,
                     auto_partitions=False,
+                    observations=observations,
                 )
+
+    def _count_obs(name: str, frame: DataFrame) -> DataFrame:
+        # attach the caller's Observation so the count rides whatever
+        # action materializes this plan next (the stage checkpoint) —
+        # count(1) references no columns, so column pruning through
+        # the CollectMetrics node is unaffected
+        if observations and name in observations:
+            return frame.observe(
+                observations[name], F.count(F.lit(1)).alias("n")
+            )
+        return frame
     # quality is projection+filter only (no shuffle): recomputing it
     # for its two consumers is cheaper than materializing full text to
     # local disk, so it is NOT checkpointed; stages whose recompute
     # would repeat a shuffle (dedup window, gram joins) are
     q = quality_score(df, text_col).filter(F.col("quality") >= quality_min)
-    quality = df.join(q.select("doc_id"), "doc_id")
+    quality = _count_obs("quality", df.join(q.select("doc_id"), "doc_id"))
 
-    deduped = exact_keep_min(quality, text_col).localCheckpoint()
+    deduped = _count_obs(
+        "deduped", exact_keep_min(quality, text_col)
+    ).localCheckpoint()
 
     # NOT fused with decontamination's gram build: sharing one
     # localCheckpoint-ed gram table between the two stages measured
@@ -1184,7 +1213,7 @@ def curate_documents(
                 ).select("doc_id")
             )
         )
-    near = deduped.join(near_ids, "doc_id").localCheckpoint()
+    near = _count_obs("near", deduped.join(near_ids, "doc_id")).localCheckpoint()
 
     pre_clean = near
     if span_trim:
@@ -1195,7 +1224,8 @@ def curate_documents(
         # runs in UNTOUCHED docs — downstream exact-dedup/
         # contamination/token-budget semantics must see untrimmed docs
         # byte-identical)
-        trimmed = (
+        trimmed = _count_obs(
+            "trimmed",
             near.withColumnRenamed(text_col, "__orig")
             .join(
                 trim_info.filter(F.col("n_kept") > 0).select(
@@ -1209,9 +1239,8 @@ def curate_documents(
                     F.col("n_kept") < F.col("n_tokens"), F.col("kept_text")
                 ).otherwise(F.col("__orig")),
             )
-            .drop("__orig", "n_tokens", "n_kept", "kept_text")
-            .localCheckpoint()
-        )
+            .drop("__orig", "n_tokens", "n_kept", "kept_text"),
+        ).localCheckpoint()
         stages_mid["trimmed"] = trimmed
         pre_clean = trimmed
 
@@ -1220,7 +1249,9 @@ def curate_documents(
         .select(F.col("corpus_doc_id").alias("doc_id"))
         .distinct()
     )
-    clean = pre_clean.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    clean = _count_obs(
+        "clean", pre_clean.join(contaminated, "doc_id", "left_anti")
+    ).localCheckpoint()
 
     toks = F.size(F.split(F.col(text_col), r"\s+"))
     # only a narrow (doc_id, n_tokens) projection rides the running

@@ -997,6 +997,42 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_row(corpus: DataFrame, benchmark: DataFrame, span_trim: bool) -> DataFrame:
+    """Shared assembly for the two curation-funnel queries (r11): the
+    intermediate stage counts ride the stage localCheckpoints as
+    observe() metrics (curate_documents(observations=...)) instead of
+    one count-aggregate action per stage — the old form re-scanned
+    every checkpointed stage and RE-RAN the quality filter (the one
+    un-checkpointed stage) just to count it. The observed counts are
+    exact row counts of the same frames the old aggregates counted, so
+    the funnel row is value-identical; they enter the result as long
+    literals. n_input stays a real aggregate (the input frame appears
+    on both sides of the quality join, so an observe there could fire
+    twice per action), and the final stage keeps its count+token-sum
+    aggregate — that action is what materializes the token-budget
+    plan. One action total instead of seven."""
+    from pyspark.sql import Observation
+
+    stage_names = ["quality", "deduped", "near"] + (
+        ["trimmed"] if span_trim else []
+    ) + ["clean"]
+    obs = {n: Observation() for n in stage_names}
+    stages = textstats.curate_documents(
+        corpus, benchmark, span_trim=span_trim, observations=obs
+    )
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    counts = stages["input"].agg(F.count(F.lit(1)).alias("n_input"))
+    for name in stage_names:
+        counts = counts.withColumn(
+            f"n_{name}", F.lit(int(obs[name].get["n"])).cast("long")
+        )
+    final_agg = stages["final"].agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(toks).alias("final_tokens"),
+    )
+    return counts.crossJoin(final_agg)
+
+
 @query(
     "curation_funnel",
     oracle="""
@@ -1106,17 +1142,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
-    stages = textstats.curate_documents(corpus, benchmark)
-    toks = F.size(F.split(F.col("text"), r"\s+"))
-    counts = None
-    for name in ["input", "quality", "deduped", "near", "clean"]:
-        agg = stages[name].agg(F.count(F.lit(1)).alias(f"n_{name}"))
-        counts = agg if counts is None else counts.crossJoin(agg)
-    final_agg = stages["final"].agg(
-        F.count(F.lit(1)).alias("n_final"),
-        F.sum(toks).alias("final_tokens"),
-    )
-    return counts.crossJoin(final_agg)
+    return _funnel_row(corpus, benchmark, span_trim=False)
 
 
 @query(
@@ -1274,17 +1300,7 @@ def q_curation_funnel_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
-    stages = textstats.curate_documents(corpus, benchmark, span_trim=True)
-    toks = F.size(F.split(F.col("text"), r"\s+"))
-    counts = None
-    for name in ["input", "quality", "deduped", "near", "trimmed", "clean"]:
-        agg = stages[name].agg(F.count(F.lit(1)).alias(f"n_{name}"))
-        counts = agg if counts is None else counts.crossJoin(agg)
-    final_agg = stages["final"].agg(
-        F.count(F.lit(1)).alias("n_final"),
-        F.sum(toks).alias("final_tokens"),
-    )
-    return counts.crossJoin(final_agg)
+    return _funnel_row(corpus, benchmark, span_trim=True)
 
 
 @query(

@@ -483,6 +483,58 @@ def test_curate_documents_chunked_budget_parity(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.parametrize("span_trim", [False, True])
+def test_curate_documents_observed_counts_match_stage_counts(spark, span_trim):
+    """r11 funnel-count route: stage counts delivered via
+    curate_documents(observations=...) — each riding its stage's own
+    localCheckpoint materialization as an observe() metric — must
+    equal the direct count() of the returned stage frames (the
+    aggregate the funnel queries used to run as a separate action per
+    stage). Duplicate texts + a contaminated doc + a trimmed span are
+    planted so every stage drops something and no count is vacuously
+    equal to its neighbor."""
+    from pyspark.sql import Observation
+
+    from post_modern_stack_spark.operators.textstats import curate_documents
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    shared12 = "the shared prefix of twelve tokens a b c d e f"
+    dup_text = "the quick brown fox jumps over a lazy dog today again"
+    rows = []
+    for i in range(30):
+        if i % 7 == 0:
+            text = dup_text  # exact dups: 4 of 5 drop at deduped
+        elif i in (5, 10):
+            # 13 tokens -> 6 grams, 5 shared between the pair:
+            # dup_share 5/6 >= 0.8 -> both drop at near
+            text = shared12 + f" tail{i}"
+        elif i % 5 == 0:
+            # internally duplicated span (share 0.2): survives near,
+            # gets trimmed in span mode
+            text = span + f" mid{i} " + span
+        else:
+            text = " ".join(f"w{i}x{j}" for j in range(11)) + f" u{i}"
+        rows.append((i, text, "en", f"src{i % 3}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench_docs = docs.filter(F.col("doc_id") == 1)
+
+    names = ["quality", "deduped", "near"] + (
+        ["trimmed"] if span_trim else []
+    ) + ["clean"]
+    obs = {n: Observation() for n in names}
+    stages = curate_documents(
+        docs, bench_docs, span_trim=span_trim, observations=obs
+    )
+    for n in names:
+        assert obs[n].get["n"] == stages[n].count(), n
+    # the funnel actually shrinks at every comparable stage — no count
+    # is vacuously equal to its upstream neighbor
+    c = {n: obs[n].get["n"] for n in names}
+    assert c["quality"] > c["deduped"] > c["near"] > c["clean"]
+
+
 def test_bpe_encode_matches_reference_both_paths(spark):
     """Encode half: per-doc token counts from the trained merge table
     must equal the reference BPE's final symbol counts — via BOTH the
