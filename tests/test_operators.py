@@ -312,6 +312,48 @@ def test_language_id_arrow_join_parity(spark):
     assert a and a == b
 
 
+def test_language_id_arrow_vectorized_routes_parity(spark):
+    """r11 vectorized Arrow scorer: ascii docs >= 3 chars ride the
+    numpy 24-bit-gram-code path, non-ascii and short docs the original
+    per-char dict loop, and non-ascii profile grams stay out of the
+    packed code table — all inside ONE batch. Parity vs the broadcast
+    join path (which has no such routing) over a corpus that planted a
+    doc in every route: mixed-script, short (< 3 chars), empty,
+    gram-free, and plain ascii docs, trained on mixed-script docs so
+    the profile itself holds non-packable grams."""
+    from pyspark.sql import functions as F
+
+    from post_modern_stack_spark.operators import textstats
+
+    rows = [
+        (0, "der die das und der die das oder", "de"),
+        (1, "the quick brown fox and the lazy dog", "en"),
+        (2, "日本語のテキストです 日本語のテキスト", "ja"),  # non-ascii route
+        (3, "das und der die das und der die", "de"),
+        (4, "ab", "en"),  # short: i=0 probe only
+        (5, "", "en"),  # empty
+        (6, "zzz@@@###", "en"),  # ascii, likely gram-free vs profile
+        (7, "the brown dog and the quick fox", "en"),
+        (8, "テキスト日本語の日本語", "ja"),
+        (9, "und das der die und das der", "de"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    prof = textstats.ngram_language_profiles(d)  # includes non-ascii grams
+    a = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in textstats.language_id(d, prof, strategy="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in textstats.language_id(d, prof, strategy="join").collect()
+    }
+    assert a == b
+    # the ja docs really were scored (non-ascii route produced output)
+    assert a[2][0] == "ja" and a[8][0] == "ja"
+    # ascii route produced output too
+    assert a[1][0] == "en"
+
+
 def test_pq_recall_vs_brute_force(spark):
     """PQ ADC + exact rerank must recover most of the exact top-5 —
     refine-factor 3 reranks with true cosine, so recall is bounded only
