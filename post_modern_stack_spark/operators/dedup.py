@@ -291,6 +291,39 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def _observed_n_changed(
+    obs, old_labels: DataFrame, new_labels: DataFrame, timeout_s: float = 30.0
+) -> int:
+    """Bounded read of the convergence observe metric (ADVICE r11):
+    ``Observation.get`` blocks with NO timeout, so on any Spark
+    build/config where the eager localCheckpoint materializes outside
+    the tracked query execution the loop would hang forever — the old
+    join+limit+count check could not hang. Poll the JVM-side
+    ``getOrEmpty`` (each call waits ≤100 ms) up to ``timeout_s``; once
+    the metric is present, ``obs.get`` returns without blocking. If it
+    never fires (or the internal accessor is unavailable on this
+    build), degrade to the pre-r11 inequality check — one extra
+    node-grain join job, never a hang."""
+    import time as _time
+
+    jo = getattr(obs, "_jo", None)
+    if jo is not None:
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            try:
+                if not jo.getOrEmpty().isEmpty():
+                    return int(obs.get["n_changed"])
+            except Exception:
+                break
+    return (
+        new_labels.alias("n")
+        .join(old_labels.alias("o"), "node")
+        .filter(F.col("n.label") != F.col("o.label"))
+        .limit(1)
+        .count()
+    )
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -365,8 +398,9 @@ def cluster_pairs(
             .select("node", "label")
             .localCheckpoint()
         )
+        n_changed = _observed_n_changed(obs, labels, new_labels)
         labels = new_labels
-        if obs.get["n_changed"] == 0:
+        if n_changed == 0:
             break
     else:
         # returning unconverged labels would silently split components

@@ -179,12 +179,25 @@ def _weights_array_sql(weights) -> str:
     instead of ``n_features`` py4j ``F.lit`` round trips per GD
     iteration. ``repr(float)`` emits the shortest round-tripping
     decimal and Java's ``Double.parseDouble`` is correctly rounded, so
-    the parsed literals are bit-identical to the ``F.lit`` route."""
+    the parsed literals are bit-identical to the ``F.lit`` route.
+
+    Non-finite weights (a diverged GD run overflowing exp) must emit
+    the STRING cast forms — ``repr`` yields ``inf``/``nan``, which the
+    SQL parser rejects as identifiers, where ``F.lit`` used to produce
+    the double quietly (ADVICE r11); ``CAST('NaN' AS DOUBLE)`` parses
+    to the identical IEEE values."""
+    import math
+
     import numpy as np
 
-    vals = ",".join(
-        f"CAST({float(v)!r} AS DOUBLE)" for v in np.asarray(weights)
-    )
+    def lit(v: float) -> str:
+        if math.isfinite(v):
+            return f"CAST({v!r} AS DOUBLE)"
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+
+    vals = ",".join(lit(float(v)) for v in np.asarray(weights))
     return f"array({vals})"
 
 

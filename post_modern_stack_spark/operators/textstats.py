@@ -1050,6 +1050,7 @@ def grain_partitions_hint(
     rows_per_partition: int = 2_000_000,
     cap: int = 4096,
     stats_gate: bool = False,
+    stats_compression_factor: int = 8,
 ) -> int:
     """Shuffle-partition count sized to the EXPLODED token/gram grain
     of a text corpus (VERDICT r10 item 5 — partitions must track the
@@ -1068,15 +1069,19 @@ def grain_partitions_hint(
     ``stats_gate=True`` (r11, the ``curate_documents`` route): before
     paying the scan, bound the hint from CATALOG STATISTICS —
     ``optimizedPlan().stats().sizeInBytes`` is the (compressed) input
-    size known from parquet footers, no job. Text compresses ≤~4×, so
-    ``bytes × 4`` upper-bounds chars; if even that inflated bound
-    keeps the hint at or under the session's current shuffle width,
-    elevation is provably a no-op and the scan job is skipped (the
-    common small-corpus case — and at 100 TB the gate is what makes
-    the hint FREE for already-wide sessions, instead of a full
-    text-column read before any work). Corpora whose stats bound
+    size known from parquet footers, no job. ``bytes ×
+    stats_compression_factor`` upper-bounds chars; if even that
+    inflated bound keeps the hint at or under the session's current
+    shuffle width, elevation is provably a no-op and the scan job is
+    skipped (the common small-corpus case — and at 100 TB the gate is
+    what makes the hint FREE for already-wide sessions, instead of a
+    full text-column read before any work). Corpora whose stats bound
     exceeds the current width still pay the one exact scan, keeping
-    the measured 10M/30M-doc calibration (p=240@10M) unchanged.
+    the measured 10M/30M-doc calibration (p=240@10M) unchanged. The
+    factor defaults to 8 (ADVICE r11: the old hard-coded 4 is routinely
+    beaten by gzip/zstd on repetitive natural text, under-estimating
+    the gram grain exactly where the skew safeguard matters); callers
+    that know their codec's real ratio can tighten it.
     """
     if stats_gate:
         est_bytes = None
@@ -1089,7 +1094,7 @@ def grain_partitions_hint(
         # 1<<60 ≈ the 'unknown size' sentinel region (defaultSizeInBytes
         # = Long.MaxValue); treat anything near it as no-statistics
         if est_bytes is not None and 0 <= est_bytes < (1 << 60):
-            grain_ub = (est_bytes * 4) // chars_per_token
+            grain_ub = (est_bytes * stats_compression_factor) // chars_per_token
             hint_ub = int(min(cap, max(1, -(-grain_ub // rows_per_partition))))
             try:
                 current = int(
