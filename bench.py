@@ -326,7 +326,27 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    def reset_operator_memos() -> None:
+        """Cold-path guarantee (VERDICT r11 what's-wrong #1): the
+        embedding_near_dups corpus-broadcast memo is a legitimate
+        bounded in-process cache, but within one bench session sample 1
+        paid the corpus collect + routing probe and samples 2-3 did
+        not, so the reported median measured the warm path. Clear the
+        memo (unpersisting its broadcasts) before EVERY timed run so
+        each sample pays the full cold-path cost the driver's first
+        invocation would pay. Runs OUTSIDE the timed region."""
+        from post_modern_stack_spark.operators import dedup
+
+        memo = getattr(dedup, "_corpus_memo", None)
+        while memo:
+            _, bc = memo.popitem()
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
+
     def run_once(name: str) -> float:
+        reset_operator_memos()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)

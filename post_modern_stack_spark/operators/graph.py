@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _observed_dangling(obs) -> float | None:
+    """Bounded read of the dangling-mass observe metric: poll the
+    JVM-side ``getOrEmpty`` (each call waits ≤100 ms) so a Spark
+    build/config where the eager localCheckpoint materializes outside
+    the tracked execution degrades to ``None`` (next iteration takes
+    the in-plan aggregate route) instead of blocking forever in
+    ``Observation.get`` — same posture as dedup._observed_n_changed
+    (ADVICE r11)."""
+    import time as _time
+
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        return None
+    deadline = _time.monotonic() + 30.0
+    while _time.monotonic() < deadline:
+        try:
+            if not jo.getOrEmpty().isEmpty():
+                return float(obs.get["_dang"])
+        except Exception:
+            return None
+    return None
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -28,6 +51,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint_interval: int = 2,
     broadcast_ranks: bool = False,
+    observe_dangling: bool = True,
 ) -> DataFrame:
     """PageRank over an edge list; returns (node, rank), Σrank = 1.
 
@@ -73,13 +97,23 @@ def pagerank(
     n = nodes.count()
     annotated = e.join(outdeg, src).localCheckpoint()
 
+    dang_sum = F.coalesce(
+        F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
+    ).alias("_dang")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # ``observe_dangling`` (r12, VERDICT r11 item 5): the dangling-mass
+    # scalar of a CHECKPOINTED rank frame rides the checkpoint's own
+    # materialization as an observe() metric (the cluster_pairs /
+    # funnel-count pattern), so the next iteration's update uses a
+    # plain double literal instead of re-aggregating the rank frame
+    # in-plan — one fewer rank-frame reference (aggregate subtree +
+    # 1-row broadcast exchange) in every post-checkpoint iteration's
+    # plan. Iterations NOT preceded by a checkpoint (and any build
+    # where the metric fails to fire) keep the in-plan aggregate —
+    # identical math: the observe computes the same sum(when(...))
+    # over the same materialized rows the in-plan aggregate scanned.
+    dang_known: float | None = None
     for it in range(iters):
-        dang = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
-            ).alias("_dang")
-        )
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
             annotated.join(rank_side, annotated[src] == ranks["node"])
@@ -87,21 +121,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left_outer")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "_has_out",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dang") / n
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        updated = nodes.join(contribs, "node", "left_outer")
+        if dang_known is None:
+            updated = updated.crossJoin(F.broadcast(ranks.agg(dang_sum)))
+            dang_col = F.col("_dang")
+        else:
+            dang_col = F.lit(dang_known)
+        ranks = updated.select(
+            "node",
+            "_has_out",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * dang_col / n
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
         )
+        dang_known = None
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
+            if observe_dangling:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                ranks = ranks.observe(obs, dang_sum)
             ranks = ranks.localCheckpoint()
+            if observe_dangling:
+                dang_known = _observed_dangling(obs)
     return ranks.select("node", "rank")
 
 
