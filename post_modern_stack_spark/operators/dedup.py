@@ -304,17 +304,11 @@ def _observed_n_changed(
     never fires (or the internal accessor is unavailable on this
     build), degrade to the pre-r11 inequality check — one extra
     node-grain join job, never a hang."""
-    import time as _time
+    from post_modern_stack_spark.operators.obs import observed_value
 
-    jo = getattr(obs, "_jo", None)
-    if jo is not None:
-        deadline = _time.monotonic() + timeout_s
-        while _time.monotonic() < deadline:
-            try:
-                if not jo.getOrEmpty().isEmpty():
-                    return int(obs.get["n_changed"])
-            except Exception:
-                break
+    v = observed_value(obs, "n_changed", timeout_s=timeout_s)
+    if v is not None:
+        return int(v)
     return (
         new_labels.alias("n")
         .join(old_labels.alias("o"), "node")

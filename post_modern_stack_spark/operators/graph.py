@@ -21,26 +21,13 @@ from pyspark.sql import functions as F
 
 
 def _observed_dangling(obs) -> float | None:
-    """Bounded read of the dangling-mass observe metric: poll the
-    JVM-side ``getOrEmpty`` (each call waits ≤100 ms) so a Spark
-    build/config where the eager localCheckpoint materializes outside
-    the tracked execution degrades to ``None`` (next iteration takes
-    the in-plan aggregate route) instead of blocking forever in
-    ``Observation.get`` — same posture as dedup._observed_n_changed
-    (ADVICE r11)."""
-    import time as _time
+    """Bounded read of the dangling-mass observe metric; ``None`` (the
+    in-plan aggregate route) when the metric does not fire — see
+    operators/obs.observed_value."""
+    from post_modern_stack_spark.operators.obs import observed_value
 
-    jo = getattr(obs, "_jo", None)
-    if jo is None:
-        return None
-    deadline = _time.monotonic() + 30.0
-    while _time.monotonic() < deadline:
-        try:
-            if not jo.getOrEmpty().isEmpty():
-                return float(obs.get["_dang"])
-        except Exception:
-            return None
-    return None
+    v = observed_value(obs, "_dang")
+    return None if v is None else float(v)
 
 
 def pagerank(
