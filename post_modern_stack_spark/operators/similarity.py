@@ -1101,18 +1101,77 @@ def kmeans_lloyd(
 
         return assign
 
+    # FUSED assign+update (r12, VERDICT r11 item 3): each Lloyd round
+    # used to run the assign UDF and then posexplode the whole corpus
+    # to (cluster, dim, val) rows for a hash aggregate — a JVM
+    # row-expansion of N×dim rows per iteration just to compute k×dim
+    # sums the Python worker could have produced while it still held
+    # the batch matrix. One mapInArrow pass now assigns (same GEMM
+    # argmin) AND reduces per-TASK (cluster, dim) partial sums/counts
+    # in numpy, emitting ≤ k×dim rows per task; a tiny hash aggregate
+    # merges the partials. Counts are exact integers either way;
+    # float sums associate in a different (equally nondeterministic)
+    # order than the old per-partition partial aggregation — the
+    # tolerance anchor in tests/test_curation_round3.py pins that
+    # fixture assignments are invariant under ≥1e-6-relative centroid
+    # perturbation, far above any reassociation ulp.
+    dim = int(seed.shape[0])
+    vecs = embeddings.select(as_double_array(vec_col).alias("v"))
+
+    def updater(cents):
+        c = cents.copy()
+        cc = (c * c).sum(axis=1)
+        kk = c.shape[0]
+
+        def partials(batches):
+            import pyarrow as pa
+
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                col = batch.column(0)
+                offs = np.asarray(col.offsets)
+                if not np.all(np.diff(offs) == dim):
+                    raise ValueError(
+                        "ragged embedding column; expected dim=%d" % dim
+                    )
+                mat = np.asarray(col.values, dtype=np.float64)[
+                    offs[0] : offs[-1]
+                ].reshape(n, dim)
+                d = cc[None, :] - 2.0 * (mat @ c.T)
+                a = d.argmin(axis=1)
+                np.add.at(sums, a, mat)
+                counts += np.bincount(a, minlength=kk)
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.repeat(nz, dim).astype(np.int32),
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                            type=pa.int32(),
+                        ),
+                        pa.array(sums[nz].ravel(), type=pa.float64()),
+                        pa.array(np.repeat(counts[nz], dim), type=pa.int64()),
+                    ],
+                    names=["cluster", "dim", "s", "n"],
+                )
+
+        return partials
+
     for _ in range(n_iter):
-        assigned = embeddings.select(
-            id_col,
-            vec_col,
-            assigner(centroids)(F.col(vec_col)).alias("cluster"),
-        )
         sums = (
-            assigned.select(
-                "cluster", F.posexplode(vec_col).alias("dim", "val")
+            vecs.mapInArrow(
+                updater(centroids), "cluster int, dim int, s double, n long"
             )
             .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = centroids.copy()

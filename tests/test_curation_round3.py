@@ -240,6 +240,65 @@ def test_kmeans_recovers_planted_blobs(spark):
     assert cent_set == {(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)}
 
 
+def test_kmeans_fused_update_matches_reference_and_is_tolerance_stable(spark):
+    """Parity anchor for the r12 fused assign+update Arrow pass
+    (VERDICT r11 item 3): the fused distributed update associates its
+    float sums differently than a reference implementation, so pin
+    (a) centroids within 1e-9 of an exact driver-side Lloyd run from
+    the SAME init, (b) assignments exactly equal to that reference,
+    and (c) assignments invariant under 1e-6-relative centroid
+    perturbation — far above any sum-reassociation ulp, so ANY
+    partial-order change in the update is provably assignment-safe on
+    this fixture."""
+    import numpy as np
+    from post_modern_stack_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    centers = [
+        (8.0, 0.0, -3.0),
+        (0.0, 9.0, 2.0),
+        (-7.0, -7.0, 5.0),
+        (3.0, -6.0, -8.0),
+    ]
+    rows = []
+    for b, center in enumerate(centers):
+        for i in range(40):
+            v = np.asarray(center) + rng.uniform(-1, 1, size=3)
+            rows.append((b * 1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    k, n_iter = 4, 5
+    _, init_cents = kmeans_lloyd(df, k=k, n_iter=0)  # init only
+    assignments, cents = kmeans_lloyd(df, k=k, n_iter=n_iter)
+    got = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+
+    ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    c = np.array(init_cents, dtype=np.float64, copy=True)
+    for _ in range(n_iter):
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                # np.mean associates differently than both the fused
+                # partials and the old posexplode aggregate — exactly
+                # the reorder class the anchor must absorb
+                c[j] = mat[sel].mean(axis=0)
+    assert np.allclose(np.asarray(cents), c, rtol=0, atol=1e-9)
+    d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+    ref = {int(i): int(x) for i, x in zip(ids, d.argmin(axis=1))}
+    assert ref == got
+
+    pr = np.random.RandomState(11)
+    pert = np.asarray(cents) * (
+        1.0 + 1e-6 * pr.uniform(-1, 1, size=np.shape(cents))
+    )
+    dp = (pert * pert).sum(axis=1)[None, :] - 2.0 * (mat @ pert.T)
+    assert {int(i): int(x) for i, x in zip(ids, dp.argmin(axis=1))} == got
+
+
 def test_rowwise_scorer_matches_sparse_scorer(spark):
     import numpy as np
     from post_modern_stack_spark.operators import inference
