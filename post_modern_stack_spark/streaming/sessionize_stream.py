@@ -215,6 +215,162 @@ def stateful_session_arrays(events: DataFrame) -> DataFrame:
     )
 
 
+BUCKET_STATE_SCHEMA = T.StructType(
+    [
+        # user-grain, parallel arrays
+        T.StructField("users", T.ArrayType(T.LongType()), True),
+        T.StructField("last_ms", T.ArrayType(T.LongType()), True),
+        # event-grain, parallel arrays (owner = the event's user)
+        T.StructField("owner", T.ArrayType(T.LongType()), True),
+        T.StructField("ts_ns", T.ArrayType(T.LongType()), True),
+        T.StructField("event_id", T.ArrayType(T.LongType()), True),
+        T.StructField("k", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_BUCKET_GAP_MS = 5_000  # same 5 s quiet-close as the per-user operator
+
+
+def _emit_quiet_users(users, last_ms, owner, ts_ns, event_id, k, now_ms):
+    """Split bucket state into (emission DataFrame | None, kept state).
+    A user emits when ``now - last_seen >= gap`` — the same 'no data
+    for gap' contract the per-user operator's ProcessingTimeTimeout
+    enforces (both only ever fire at micro-batch boundaries). Emitted
+    rows are the per-user time-ordered interaction arrays, identical
+    content to _accumulate_sessions' timeout emission."""
+    import numpy as np
+
+    users_a = np.asarray(users, dtype=np.int64)
+    last_a = np.asarray(last_ms, dtype=np.int64)
+    quiet = last_a <= now_ms - _BUCKET_GAP_MS
+    if not quiet.any():
+        return None, (users, last_ms, owner, ts_ns, event_id, k)
+    emit_set = users_a[quiet]
+    owner_a = np.asarray(owner, dtype=np.int64)
+    sel = np.isin(owner_a, emit_set)
+    ts_a = np.asarray(ts_ns, dtype=np.int64)
+    eid_a = np.asarray(event_id, dtype=np.int64)
+    k_a = np.asarray(k, dtype=object)
+    out_users, out_n, out_inter = [], [], []
+    eo, et, ee, ek = owner_a[sel], ts_a[sel], eid_a[sel], k_a[sel]
+    for u in sorted(emit_set.tolist()):
+        m = eo == u
+        rows = sorted(zip(et[m].tolist(), ee[m].tolist(), ek[m].tolist()))
+        out_users.append(u)
+        out_n.append(len(rows))
+        out_inter.append([r[2] for r in rows])
+    keep = ~quiet
+    ksel = ~sel
+    kept = (
+        users_a[keep].tolist(),
+        last_a[keep].tolist(),
+        owner_a[ksel].tolist(),
+        ts_a[ksel].tolist(),
+        eid_a[ksel].tolist(),
+        k_a[ksel].tolist(),
+    )
+    emission = pd.DataFrame(
+        {"user_id": out_users, "n_events": out_n, "interactions": out_inter}
+    )
+    return emission, kept
+
+
+def _accumulate_sessions_bucketed(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """J5 state update at BUCKET grain (r12, VERDICT r11 item 1): the
+    state group key is pmod(user_id, n_buckets), so the per-group
+    state-protocol round trip (Arrow slice → pandas frame → GroupState
+    codec) is paid once per BUCKET per batch instead of once per USER
+    per batch — the measured floor at 100k users was ~2.3 rows/group,
+    pure protocol. Per-user session semantics are preserved inside the
+    bucket: each user's last-seen processing time is tracked in state,
+    a user emits (content-identical, time-ordered interaction array)
+    once the bucket observes ≥5 s of quiet for that user — the same
+    'no data for 5 s, evaluated at micro-batch boundaries' contract as
+    the per-user operator — and a bucket-grain timeout sweeps users of
+    buckets receiving no data at all, re-arming itself while any user
+    remains un-quiet."""
+    now = state.getCurrentProcessingTimeMs()
+    if state.hasTimedOut:
+        (users, last_ms, owner, ts_ns, event_id, k) = state.get
+        emission, kept = _emit_quiet_users(
+            users, last_ms, owner, ts_ns, event_id, k, now
+        )
+        if kept[0]:
+            state.update(kept)
+            state.setTimeoutDuration(_BUCKET_GAP_MS)
+        else:
+            state.remove()
+        if emission is not None:
+            yield emission
+        return
+    users: list = []
+    last_ms: list = []
+    owner: list = []
+    ts_ns: list = []
+    event_id: list = []
+    k: list = []
+    if state.exists:
+        (users, last_ms, owner, ts_ns, event_id, k) = state.get
+        users, last_ms = list(users), list(last_ms)
+        owner, ts_ns = list(owner), list(ts_ns)
+        event_id, k = list(event_id), list(k)
+    seen: set = set()
+    for pdf in pdfs:
+        us = pdf["user_id"].tolist()
+        owner.extend(us)
+        ts_ns.extend(pdf["ts_ns"].tolist())
+        event_id.extend(pdf["event_id"].tolist())
+        k.extend(pdf["k"].tolist())
+        seen.update(us)
+    if seen:
+        pos = {u: i for i, u in enumerate(users)}
+        for u in seen:
+            i = pos.get(u)
+            if i is None:
+                users.append(u)
+                last_ms.append(now)
+            else:
+                last_ms[i] = now
+    emission, kept = _emit_quiet_users(
+        users, last_ms, owner, ts_ns, event_id, k, now
+    )
+    state.update(kept)
+    state.setTimeoutDuration(_BUCKET_GAP_MS)
+    if emission is not None:
+        yield emission
+
+
+def stateful_session_arrays_bucketed(
+    events: DataFrame, n_buckets: int = 512
+) -> DataFrame:
+    """J5 scale path: ``stateful_session_arrays`` with KEY-RANGE
+    COALESCING — state groups are ``pmod(user_id, n_buckets)`` buckets,
+    amortizing the per-group state-protocol round trip over ~|users| /
+    n_buckets users while emitting the identical per-user rows (same
+    5 s-quiet close, same time-ordered interaction arrays; parity test
+    drives both operators over one finite stream). Use when group
+    cardinality per batch is large relative to rows per group (the
+    measured v1 protocol floor); the per-user form remains the
+    simplest-correct reference."""
+    prepped = events.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return prepped.withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    ).groupBy("bucket").applyInPandasWithState(
+        _accumulate_sessions_bucketed,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, out_path: str, checkpoint: str, trigger_available_now: bool = True
 ) -> Any:

@@ -125,6 +125,7 @@ def main() -> None:
     from post_modern_stack_spark.streaming.dedup_stream import dedup_events
     from post_modern_stack_spark.streaming.sessionize_stream import (
         stateful_session_arrays,
+        stateful_session_arrays_bucketed,
         stream_events,
         windowed_event_counts,
     )
@@ -229,6 +230,9 @@ def main() -> None:
         lambda ev: windowed_event_counts(ev, window="1 hour", watermark="10 minutes"),
     )
     probe_stateful("stateful_session_arrays", stateful_session_arrays)
+    probe_stateful(
+        "stateful_session_arrays_bucketed", stateful_session_arrays_bucketed
+    )
 
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
