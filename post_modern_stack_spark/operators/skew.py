@@ -42,8 +42,12 @@ def widen_narrow_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     AQE shuffle stages (real jobs) if an exchange were upstream.
     Results are unchanged for any downstream aggregate/join: the
     round-robin split is deterministic (sort-before-repartition,
-    SPARK-23207) and every catalog consumer aggregates
-    order-insensitively.
+    SPARK-23207). Most catalog consumers aggregate order-insensitively;
+    the one collect_list consumer (q_quality_classifier via
+    packed_text_features) depends on array order only through the float
+    summation order of its margin aggregate, which the query's 4dp
+    rounding absorbs — the same reorder class post-shuffle collect_list
+    already exhibits without this helper (ADVICE r11).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
