@@ -7,6 +7,8 @@ or driver-side Python lists, not Spark expressions).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -113,12 +115,33 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array<float/double> columns (K3).
 
     ``nullif`` guards the zero-vector case: NULL similarity rather than
     an ANSI divide-by-zero error.
+
+    When both inputs are plain column names the whole expression is
+    emitted as ONE SQL string (r12): the DSL form costs ~25 py4j round
+    trips per call (three higher-order lambdas), ~40 ms of driver build
+    each — the single-parse form is the same expression tree, pinned
+    value-identical by test_cosine_sql_path_matches_dsl.
     """
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and _IDENT.match(a)
+        and _IDENT.match(b)
+    ):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
+            f" / nullif(sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+            f" * sqrt(aggregate({b}, 0.0D, (acc, v) -> acc + v * v)), 0.0D)"
+        )
     return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 

@@ -42,6 +42,28 @@ def build_vocab(
     return counts.withColumn("token_id", F.row_number().over(w) + (start_id - 1))
 
 
+def map_literal(pairs) -> F.Column:
+    """(token, token_id) rows → ONE parsed ``map<string,int>`` literal.
+
+    ``create_map`` over per-entry ``F.lit`` columns costs two py4j
+    round trips per vocab entry — ~0.5 s of pure driver build time at a
+    1k-token vocab (the r11 §7 driver-build class). Emitting the whole
+    map as a single SQL string parses in one call and yields the same
+    literal map. Tokens are escaped as SQL string literals (backslash
+    escaping, pinned by test against the create_map route)."""
+    if not pairs:
+        return F.expr("map()")
+    items = ",".join(
+        "'%s',%d"
+        % (
+            str(r["token"]).replace("\\", "\\\\").replace("'", "\\'"),
+            int(r["token_id"]),
+        )
+        for r in pairs
+    )
+    return F.expr(f"map({items})")
+
+
 def encode(
     df: DataFrame,
     vocab: DataFrame,
@@ -64,9 +86,7 @@ def encode(
     """
     if pairs is None:
         pairs = vocab.select("token", "token_id").collect()
-    mapping = F.create_map(
-        *[F.lit(x) for row in pairs for x in (row["token"], row["token_id"])]
-    )
+    mapping = map_literal(pairs)
     return df.withColumn(
         out_col,
         F.transform(

@@ -488,9 +488,10 @@ def q_predict_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (identical semantics: missing key → NULL → UNK), and n_classes
     # is the collected row count.
     vb_rows = vb.select("token", "token_id").collect()
-    y_map = F.create_map(
-        *[F.lit(x) for r in vb_rows for x in (r["token"], r["token_id"])]
-    )
+    # ONE parsed map literal (r12): create_map over per-entry F.lit
+    # columns was two py4j round trips per vocab entry — the dominant
+    # driver-build cost of this query (profiler build_ms ~1.3 s).
+    y_map = vocab.map_literal(vb_rows)
     enc = (
         vocab.encode(shaped, vb, "x", "x_enc", pairs=vb_rows)
         .withColumn(

@@ -866,14 +866,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-hit queries must appear in the report (their absence is
         # the most important signal) — left-join from the query set
         all_q = truth.select("query_id").distinct()
+        # coalesce inline instead of a separate na.fill op (r12 driver
+        # build): same zero-fill semantics, one fewer DataFrame hop
+        n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
         reports.append(
-            all_q.join(counts, "query_id", "left")
-            .na.fill({"n_hit": 0})
-            .select(
+            all_q.join(counts, "query_id", "left").select(
                 F.lit(name).alias("index"),
                 "query_id",
-                F.col("n_hit").cast("long").alias("n_hit"),
-                F.round(F.col("n_hit") / _K, 4).alias("recall_at_k"),
+                n_hit.cast("long").alias("n_hit"),
+                F.round(n_hit / _K, 4).alias("recall_at_k"),
             )
         )
     out = reports[0].unionByName(reports[1])

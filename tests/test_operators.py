@@ -97,6 +97,37 @@ def test_vocab_encode_decode_roundtrip(spark):
     assert dec.filter(F.col("token").isNull()).count() == 0
 
 
+def test_map_literal_matches_create_map_with_hostile_tokens(spark):
+    """r12: vocab.map_literal emits the vocab as one parsed SQL map
+    string (single py4j round trip) instead of create_map over 2N lit
+    columns. Pin value parity against the create_map route on tokens
+    exercising the SQL-literal escaping: single quotes, backslashes,
+    doubled quotes, and unicode."""
+    pairs = [
+        {"token": "plain", "token_id": 2},
+        {"token": "it's", "token_id": 3},
+        {"token": "back\\slash", "token_id": 4},
+        {"token": "both\\'mix", "token_id": 5},
+        {"token": "quote''double", "token_id": 6},
+        {"token": "unié中", "token_id": 7},
+    ]
+    lit_map = F.create_map(
+        *[F.lit(x) for r in pairs for x in (r["token"], r["token_id"])]
+    )
+    sql_map = vocab.map_literal(pairs)
+    probe = spark.createDataFrame(
+        [(r["token"],) for r in pairs] + [("oov",)], "t string"
+    )
+    got = probe.select(
+        "t",
+        F.element_at(lit_map, F.col("t")).alias("via_lit"),
+        F.element_at(sql_map, F.col("t")).alias("via_sql"),
+    ).collect()
+    assert len(got) == 7
+    for r in got:
+        assert r["via_lit"] == r["via_sql"], r
+
+
 def test_vocab_oov_maps_to_unk(spark):
     train = _arr_df(spark, [["a", "b"]]).withColumnRenamed("a", "interactions")
     test = _arr_df(spark, [["a", "zzz"]]).withColumnRenamed("a", "interactions")

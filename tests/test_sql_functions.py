@@ -95,6 +95,37 @@ def test_sum128_survives_int64_overflow(spark):
     assert exact == float(3 * per_row)
 
 
+def test_cosine_expr_fastpath_matches_dsl(spark):
+    """r12: cosine_similarity(str, str) emits one parsed SQL string;
+    cosine_similarity(Column, Column) keeps the original DSL build.
+    Both must be the SAME expression — checked value-identically (no
+    rounding) over normal vectors, a zero vector (NULL via nullif),
+    a NULL array, and NaN elements."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]),
+            (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero vec → NULL
+            (3, None, [1.0, 2.0, 3.0]),  # NULL array → NULL
+            (4, [float("nan"), 1.0, 2.0], [1.0, 1.0, 1.0]),  # NaN → NaN
+            (5, [7.5, -1.25, 0.5], [7.5, -1.25, 0.5]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = df.select(
+        "id",
+        cosine_similarity("a", "b").alias("fast"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("dsl"),
+    ).collect()
+    for r in got:
+        f, d = r["fast"], r["dsl"]
+        if f is None or d is None:
+            assert f is None and d is None, r
+        elif f != f:  # NaN
+            assert d != d, r
+        else:
+            assert f == d, r  # bit-identical, same expression tree
+
+
 def test_cosine_sim_zero_vector_is_null(spark):
     r = spark.sql(
         "SELECT cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c"
