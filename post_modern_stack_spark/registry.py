@@ -37,6 +37,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (path, dir mtime) -> StructType. Schema inference re-reads parquet
+# footers and re-lists files on EVERY read.parquet call (~85 ms/table
+# measured) — a metastore resolves a table's schema once per catalog
+# entry, and this memo is that catalog entry. It holds ONLY schemas
+# (plain StructType values): every load_table still returns a fresh
+# DataFrame with fresh expr ids (no self-join ambiguity) and every
+# action still lists and reads the parquet files — no data, plan, or
+# result is cached. The mtime in the key invalidates naturally if a
+# table is rewritten in place.
+_schema_memo: dict = {}
+_SCHEMA_MEMO_MAX = 64
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (path, mtime)
+    schema = _schema_memo.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if len(_schema_memo) >= _SCHEMA_MEMO_MAX:
+            _schema_memo.clear()
+        _schema_memo[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one registry table, normalizing physical quirks.
 
@@ -53,23 +81,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exceed 2**53 so float math would corrupt them.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    schema = _table_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        orig_cols = df.columns  # 'ts' keeps its original slot in both paths
+        # ts type and column order come from the memoized schema (no
+        # py4j dtypes round trip), and the whole normalization is ONE
+        # select (r12; was withColumnRenamed + 2 withColumn + select —
+        # ~45 ms of driver build on every events load). Fixed-order
+        # output schema regardless of which physical variant shipped,
+        # so positional consumers (union-by-position, schema snapshots)
+        # see one schema (ADVICE.md round 1). Values are identical to
+        # the chained form: inside a single select every expression
+        # reads the INPUT 'ts', which is exactly what the renamed /
+        # pre-cast column held.
+        ts_type = next(
+            (f.dataType.simpleString() for f in schema.fields if f.name == "ts"),
+            None,
+        )
+        orig_cols = schema.names  # 'ts' keeps its original slot in both paths
         if ts_type == "bigint":
-            df = (
-                df.withColumnRenamed("ts", "ts_ns")
-                .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
-                .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+            df = df.select(
+                *[
+                    F.expr("timestamp_micros(ts DIV 1000)").alias("ts")
+                    if c == "ts"
+                    else F.col(c)
+                    for c in orig_cols
+                ],
+                F.col("ts").alias("ts_ns"),
+                F.expr("ts DIV 1000000").alias("ts_ms"),
             )
         elif ts_type in ("timestamp", "timestamp_ntz"):
-            if ts_type == "timestamp_ntz":
-                # isAdjustedToUTC=false parquet stamps; session tz is
-                # pinned to UTC so the NTZ wall clock IS the UTC instant.
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000")).withColumn(
-                "ts_ms", F.expr("unix_micros(ts) DIV 1000")
+            # timestamp_ntz: isAdjustedToUTC=false parquet stamps; the
+            # session tz is pinned to UTC so the NTZ wall clock IS the
+            # UTC instant (the cast is a no-op for plain timestamp).
+            ts_utc = "CAST(ts AS TIMESTAMP)"
+            df = df.select(
+                *[
+                    F.expr(ts_utc).alias("ts") if c == "ts" else F.col(c)
+                    for c in orig_cols
+                ],
+                F.expr(f"unix_micros({ts_utc}) * 1000").alias("ts_ns"),
+                F.expr(f"unix_micros({ts_utc}) DIV 1000").alias("ts_ms"),
             )
         else:
             # Fail loudly instead of letting unix_micros() raise a cryptic
@@ -78,10 +131,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"events.ts has unsupported type {ts_type!r}; expected "
                 "bigint epoch-ns, timestamp, or timestamp_ntz"
             )
-        # Fixed-order schema regardless of which physical variant shipped,
-        # so positional consumers (union-by-position, schema snapshots)
-        # see one schema (ADVICE.md round 1).
-        df = df.select(*orig_cols, "ts_ns", "ts_ms")
     return df
 
 
